@@ -1,0 +1,102 @@
+"""Top-level decode/encode API.
+
+``decode_jpeg`` is the analog of the reference's process_jpeg_stream
+(decoder.c:661-685): parse markers, entropy-decode all scans, run the dense
+pipeline.  Entropy decoding uses the fastest available backend unless
+``entropy='serial'`` forces the oracle path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, Optional
+
+import numpy as np
+
+from .errors import UnsupportedError
+from .format.parse import Codestream, parse_codestream, unstuff
+from .geometry import FrameGeometry
+from .models.pipeline import decode_frame
+from .tables import HuffSpec, HuffTable, derive_table
+from .utils.pnm import write_pnm
+
+
+@lru_cache(maxsize=64)
+def _derive_cached(spec: HuffSpec) -> HuffTable:
+    return derive_table(spec)
+
+
+@dataclass
+class DecodedImage:
+    """Decoded frame: float RGB raster plus geometry/metadata."""
+
+    frame: np.ndarray  # float32 [size_y, size_x, Nf], RGB (K dropped later)
+    geometry: FrameGeometry
+    codestream: Codestream
+    coefficients: Dict[int, np.ndarray]  # cid -> int32 [n_blocks, 64]
+
+    @property
+    def width(self) -> int:
+        return self.geometry.width
+
+    @property
+    def height(self) -> int:
+        return self.geometry.height
+
+    def to_pnm(self) -> bytes:
+        """PPM/PGM bytes exactly like write_frame (frame.c:548-567)."""
+        return write_pnm(
+            self.frame,
+            self.geometry.width,
+            self.geometry.height,
+            self.geometry.precision,
+        )
+
+    def pixels(self) -> np.ndarray:
+        """[height, width, C] integer samples (rounded + clamped)."""
+        c = 3 if self.geometry.nf >= 3 else 1
+        window = self.frame[: self.height, : self.width, :c]
+        t = np.trunc(window)
+        frac = window - t
+        rounded = np.where(np.abs(frac) >= 0.5, t + np.copysign(1.0, window), t)
+        maxval = (1 << self.geometry.precision) - 1
+        return np.clip(rounded.astype(np.int32), 0, maxval)
+
+
+def decode_coefficients(
+    data: bytes, entropy: str = "auto"
+) -> tuple[Codestream, Dict[int, np.ndarray]]:
+    """Parse + entropy-decode only: JPEG bytes -> coefficient planes."""
+    cs = parse_codestream(data)
+    geom = cs.geometry
+    if geom is None:
+        raise UnsupportedError("no frame header before scan data")
+
+    planes = {
+        c.cid: np.zeros((c.n_blocks, 64), dtype=np.int32)
+        for c in geom.components
+    }
+
+    for scan in cs.scans:
+        tables = {k: _derive_cached(spec) for k, spec in scan.htables.items()}
+        segments = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
+        if entropy == "serial" or entropy == "auto":
+            from .entropy.serial import decode_scan_serial
+
+            decode_scan_serial(geom, scan.info, tables, segments, planes)
+        else:
+            raise UnsupportedError(f"unknown entropy backend {entropy!r}")
+    return cs, planes
+
+
+def decode_jpeg(
+    data: bytes, exact: bool = True, entropy: str = "auto"
+) -> DecodedImage:
+    """Full decode: JPEG bytes -> RGB float frame (+ coefficients)."""
+    cs, planes = decode_coefficients(data, entropy=entropy)
+    geom = cs.geometry
+    frame = np.asarray(
+        decode_frame(planes, geom, cs.qtables.astype(np.int32), exact=exact)
+    )
+    return DecodedImage(frame=frame, geometry=geom, codestream=cs, coefficients=planes)

@@ -1,0 +1,335 @@
+"""Codestream (marker) parsing: bytes -> structured codestream model.
+
+Mirrors the reference's marker state machine (decoder.c:472-659 +
+io.c:186-220 read_marker) but separates *parsing* from *decoding*: the
+output `Codestream` carries every table/geometry update plus the byte
+ranges of each entropy-coded segment, so the entropy stage can decode all
+segments in parallel afterwards (the reference interleaves the two).
+
+Scan/table state is snapshotted per scan: JPEG allows DHT/DQT between
+scans, so each `Scan` records the table versions in force when its SOS
+appeared.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..constants import (
+    APPN_SKIPPED,
+    INV_ZIGZAG,
+    M_COM,
+    M_DAC,
+    M_DHT,
+    M_DQT,
+    M_DRI,
+    M_EOI,
+    M_SOF0,
+    M_SOF1,
+    M_SOF2,
+    M_SOF3,
+    M_SOF9,
+    M_SOF10,
+    M_SOI,
+    M_SOS,
+    M_TEM,
+    ZIGZAG,
+    is_rst,
+)
+from ..constants import DEFAULT_HTABLES
+from ..errors import FileIOError, UnsupportedError
+from ..geometry import Component, FrameGeometry, ScanInfo, with_block_grid
+from ..tables import HuffSpec
+
+
+@dataclass
+class Scan:
+    """One SOS + its entropy-coded segments (split at RST markers)."""
+
+    info: ScanInfo
+    # Byte ranges [start, end) into the original buffer, one per ECS
+    # (segment boundaries = RST markers; DC predictors reset per segment).
+    ecs_ranges: List[Tuple[int, int]] = field(default_factory=list)
+    # Huffman specs in force for this scan: {(tc, th): HuffSpec}
+    htables: Dict[Tuple[int, int], HuffSpec] = field(default_factory=dict)
+    # Restart interval in force (0 = none); informational, decode is
+    # marker-driven like the reference (SURVEY §3.4).
+    ri: int = 0
+
+
+@dataclass
+class Codestream:
+    """Everything parse_format learns before/while scanning ECS data."""
+
+    geometry: Optional[FrameGeometry] = None
+    qtables: np.ndarray = field(
+        default_factory=lambda: np.ones((4, 64), dtype=np.uint16)
+    )
+    qtable_precisions: List[int] = field(default_factory=lambda: [0, 0, 0, 0])
+    scans: List[Scan] = field(default_factory=list)
+    ri: int = 0
+    comments: List[bytes] = field(default_factory=list)
+    trailing_garbage: int = 0
+    adobe_transform: Optional[int] = None  # from APP14, informational
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u8(self) -> int:
+        if self.pos >= len(self.data):
+            raise FileIOError("unexpected EOF")
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def u16(self) -> int:
+        return (self.u8() << 8) | self.u8()
+
+    def nibbles(self) -> Tuple[int, int]:
+        b = self.u8()
+        return (b >> 4) & 15, b & 15
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise FileIOError("unexpected EOF")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > len(self.data):
+            raise FileIOError("seek past EOF")
+        self.pos += n
+
+    def read_marker(self) -> int:
+        """io.c:186-220: skip garbage to 0xFF, skip fills, 0xFF00 restarts."""
+        while True:
+            # seek to next 0xFF
+            while True:
+                if self.pos >= len(self.data):
+                    raise FileIOError("EOF while seeking marker")
+                if self.data[self.pos] == 0xFF:
+                    self.pos += 1
+                    break
+                self.pos += 1
+            # consume fill bytes / detect stuffed zero
+            restart = False
+            while True:
+                b = self.u8()
+                if b == 0xFF:
+                    continue
+                if b == 0x00:
+                    restart = True  # not a marker: keep seeking
+                    break
+                return 0xFF00 | b
+            if restart:
+                continue
+
+
+def _find_ecs_end(data: bytes, start: int) -> int:
+    """First index >= start where 0xFF is followed by a non-zero byte.
+
+    This is exactly the reference's ECS termination rule
+    (read_ecs_byte, io.c:247-274).  A trailing lone 0xFF at EOF also
+    terminates.  Vectorized over the buffer.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    tail = buf[start:]
+    if tail.size == 0:
+        return start
+    is_ff = tail[:-1] == 0xFF
+    nonzero_next = tail[1:] != 0x00
+    hits = np.nonzero(is_ff & nonzero_next)[0]
+    if hits.size:
+        return start + int(hits[0])
+    if tail[-1] == 0xFF:
+        return start + tail.size - 1
+    return start + tail.size
+
+
+def unstuff(data: bytes) -> np.ndarray:
+    """Remove the 0x00 after each 0xFF inside an ECS (io.c:247-274)."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.size == 0:
+        return buf
+    # A byte is a stuffing zero iff it's 0x00 preceded by 0xFF.  Inside a
+    # well-formed ECS every 0xFF is followed by 0x00, so 0xFF-0x00 pairs
+    # can't overlap and a simple predecessor test is exact.
+    prev_is_ff = np.concatenate(([False], buf[:-1] == 0xFF))
+    drop = (buf == 0x00) & prev_is_ff
+    return buf[~drop]
+
+
+def _parse_dqt_segment(r: _Reader, cs: Codestream, seg_len: int) -> None:
+    """Multi-table DQT (decoder.c:20-68, loop at 523-526)."""
+    end = r.pos - 2 + seg_len
+    while r.pos < end:
+        pq, tq = r.nibbles()
+        if tq >= 4:
+            raise UnsupportedError("invalid DQT Tq")
+        if pq >= 2:
+            raise UnsupportedError("invalid DQT Pq")
+        q = np.ones(64, dtype=np.uint16)
+        for i in range(64):
+            val = r.u16() if pq else r.u8()
+            q[ZIGZAG[i]] = val
+        cs.qtables[tq] = q
+        cs.qtable_precisions[tq] = pq
+
+
+def _parse_sof(r: _Reader, cs: Codestream) -> None:
+    """SOF0/SOF1 frame header (decoder.c:70-136)."""
+    p = r.u8()
+    y = r.u16()
+    x = r.u16()
+    nf = r.u8()
+    if x <= 0 or nf <= 0:
+        raise UnsupportedError("invalid frame header")
+    comps = []
+    for _ in range(nf):
+        c = r.u8()
+        h, v = r.nibbles()
+        tq = r.u8()
+        comps.append(Component(cid=c, h=h, v=v, tq=tq))
+    geom = FrameGeometry(precision=p, height=y, width=x, components=tuple(comps))
+    cs.geometry = with_block_grid(geom)
+
+
+def _parse_dht_segment(
+    r: _Reader, htables: Dict[Tuple[int, int], HuffSpec], seg_len: int
+) -> None:
+    """Multi-table DHT (decoder.c:143-184, loop at 586-590)."""
+    end = r.pos - 2 + seg_len
+    while r.pos < end:
+        tc, th = r.nibbles()
+        if tc >= 2:
+            raise UnsupportedError("invalid DHT Tc")
+        counts = tuple(r.u8() for _ in range(16))
+        values = tuple(r.u8() for _ in range(sum(counts)))
+        htables[(tc, th)] = HuffSpec(counts, values)
+
+
+def _parse_sos(r: _Reader, cs: Codestream) -> ScanInfo:
+    """SOS header (decoder.c:197-259) incl. baseline-only guards."""
+    ns = r.u8()
+    cids, tds, tas = [], [], []
+    for _ in range(ns):
+        cid = r.u8()
+        td, ta = r.nibbles()
+        cids.append(cid)
+        tds.append(td)
+        tas.append(ta)
+    ss = r.u8()
+    se = r.u8()
+    ah, al = r.nibbles()
+    if ss != 0 or se != 63:
+        raise UnsupportedError("non-baseline spectral selection")
+    if ah != 0 or al != 0:
+        raise UnsupportedError("successive approximation not supported")
+    # Update component table selectors (decoder.c:225-226).
+    if cs.geometry is not None:
+        comps = list(cs.geometry.components)
+        for j, cid in enumerate(cids):
+            for i, c in enumerate(comps):
+                if c.cid == cid:
+                    comps[i] = Component(
+                        cid=c.cid, h=c.h, v=c.v, tq=c.tq,
+                        td=tds[j], ta=tas[j], b_x=c.b_x, b_y=c.b_y,
+                    )
+        cs.geometry = FrameGeometry(
+            precision=cs.geometry.precision,
+            height=cs.geometry.height,
+            width=cs.geometry.width,
+            components=tuple(comps),
+        )
+    return ScanInfo(component_ids=tuple(cids), td=tuple(tds), ta=tuple(tas))
+
+
+def parse_codestream(data: bytes) -> Codestream:
+    """Full marker walk (decoder.c:472-659), ECS bodies left as byte ranges."""
+    cs = Codestream()
+    htables: Dict[Tuple[int, int], HuffSpec] = {
+        key: HuffSpec.from_pair(pair) for key, pair in DEFAULT_HTABLES.items()
+    }
+    r = _Reader(data)
+    current_scan: Optional[Scan] = None
+
+    while True:
+        marker = r.read_marker()
+
+        if marker == M_SOI:
+            continue
+        if marker in APPN_SKIPPED:
+            seg_len = r.u16()
+            payload_start = r.pos
+            if marker == 0xFFEE and seg_len >= 14:  # APP14 "Adobe"
+                payload = data[r.pos : r.pos + seg_len - 2]
+                if payload[:5] == b"Adobe":
+                    cs.adobe_transform = payload[11]
+            r.pos = payload_start
+            r.skip(seg_len - 2)
+            continue
+        if marker == M_DQT:
+            seg_len = r.u16()
+            _parse_dqt_segment(r, cs, seg_len)
+            continue
+        if marker in (M_SOF0, M_SOF1):
+            r.u16()
+            _parse_sof(r, cs)
+            continue
+        if marker in (M_SOF2, M_SOF3, M_SOF9, M_SOF10):
+            r.u16()
+            _parse_sof(r, cs)
+            kind = {
+                M_SOF2: "progressive DCT",
+                M_SOF3: "lossless",
+                M_SOF9: "arithmetic coding",
+                M_SOF10: "arithmetic coding",
+            }[marker]
+            raise UnsupportedError(f"{kind} not supported")
+        if marker == M_DHT:
+            seg_len = r.u16()
+            _parse_dht_segment(r, htables, seg_len)
+            continue
+        if marker == M_DRI:
+            r.u16()
+            cs.ri = r.u16()
+            continue
+        if marker == M_SOS:
+            r.u16()
+            info = _parse_sos(r, cs)
+            current_scan = Scan(info=info, htables=dict(htables), ri=cs.ri)
+            cs.scans.append(current_scan)
+            end = _find_ecs_end(data, r.pos)
+            current_scan.ecs_ranges.append((r.pos, end))
+            r.pos = end
+            continue
+        if is_rst(marker):
+            if current_scan is None:
+                raise UnsupportedError("RST marker outside scan")
+            end = _find_ecs_end(data, r.pos)
+            current_scan.ecs_ranges.append((r.pos, end))
+            r.pos = end
+            continue
+        if marker == M_EOI:
+            cs.trailing_garbage = len(data) - r.pos
+            return cs
+        if marker == M_COM:
+            seg_len = r.u16()
+            if seg_len < 2:
+                raise UnsupportedError("invalid COM length")
+            cs.comments.append(r.take(seg_len - 2))
+            continue
+        if marker == M_TEM:
+            continue
+        if marker == M_DAC:
+            seg_len = r.u16()
+            r.skip(seg_len - 2)
+            continue
+        raise UnsupportedError(f"unhandled marker 0x{marker:04x}")

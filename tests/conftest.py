@@ -1,0 +1,22 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh.
+
+The environment's TPU plugin force-selects itself via sitecustomize
+(jax.config jax_platforms), so env vars alone don't stick -- override the
+config back to CPU before any backend initializes.  The 8 virtual CPU
+devices are the standard way to test pod sharding without TPU hardware.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
