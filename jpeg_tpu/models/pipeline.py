@@ -92,9 +92,20 @@ def encode_frame(
     qtables,  # [4, 64]
     exact: bool = True,
 ) -> Dict[int, object]:
-    """Full dense encode: padded RGB raster -> coefficient planes."""
+    """Full dense encode: padded RGB raster -> coefficient planes.
+
+    Color conversion only touches the true [height, width] window, exactly
+    like frame_to_ycc (frame.c:162-163): the MCU padding keeps its raw
+    replicated RGB values and flows into the DCT unconverted.  (A quirk,
+    but required for byte-identical output with the reference encoder.)
+    """
+    frame = jnp.asarray(frame)
     ycc = rgb_to_ycc(frame, geom.precision, exact=exact)
     size_y, size_x = geom.size_y, geom.size_x
+    if (size_y, size_x) != (geom.height, geom.width):
+        in_y = jnp.arange(size_y)[:, None] < geom.height
+        in_x = jnp.arange(size_x)[None, :] < geom.width
+        ycc = jnp.where((in_y & in_x)[..., None], ycc, frame)
     out = {}
     for comp in geom.components:
         c_y, c_x = comp.b_y * 8, comp.b_x * 8
