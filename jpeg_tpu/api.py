@@ -81,10 +81,20 @@ def decode_coefficients(
     for scan in cs.scans:
         tables = {k: _derive_cached(spec) for k, spec in scan.htables.items()}
         segments = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
-        if entropy == "serial" or entropy == "auto":
+        backend = entropy
+        if backend == "auto":
+            # Lockstep decodes restart segments in parallel lanes, but its
+            # per-step cost is fixed -- it only amortizes with enough
+            # lanes.  Few/one segment(s): the serial reader wins.
+            backend = "lockstep" if len(segments) >= 16 else "serial"
+        if backend == "serial":
             from .entropy.serial import decode_scan_serial
 
             decode_scan_serial(geom, scan.info, tables, segments, planes)
+        elif backend == "lockstep":
+            from .entropy.lockstep import decode_scan_lockstep
+
+            decode_scan_lockstep(geom, scan.info, tables, segments, planes)
         else:
             raise UnsupportedError(f"unknown entropy backend {entropy!r}")
     return cs, planes
