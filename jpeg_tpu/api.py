@@ -27,6 +27,19 @@ def _derive_cached(spec: HuffSpec) -> HuffTable:
     return derive_table(spec)
 
 
+@lru_cache(maxsize=32)
+def _jitted_decode_frame(geom: FrameGeometry, exact: bool):
+    """One compiled executable per (geometry, mode): the dense pipeline
+    builds hundreds of ops, and on a remote TPU eager dispatch would cost
+    a round trip per op."""
+    import jax
+
+    def fn(planes, qtables):
+        return decode_frame(planes, geom, qtables, exact=exact)
+
+    return jax.jit(fn)
+
+
 @dataclass
 class DecodedImage:
     """Decoded frame: float RGB raster plus geometry/metadata."""
@@ -95,6 +108,10 @@ def decode_coefficients(
             from .entropy.lockstep import decode_scan_lockstep
 
             decode_scan_lockstep(geom, scan.info, tables, segments, planes)
+        elif backend == "lockstep-jax":
+            from .entropy.lockstep_jax import decode_scan_lockstep_jax
+
+            decode_scan_lockstep_jax(geom, scan.info, tables, segments, planes)
         else:
             raise UnsupportedError(f"unknown entropy backend {entropy!r}")
     return cs, planes
@@ -106,7 +123,6 @@ def decode_jpeg(
     """Full decode: JPEG bytes -> RGB float frame (+ coefficients)."""
     cs, planes = decode_coefficients(data, entropy=entropy)
     geom = cs.geometry
-    frame = np.asarray(
-        decode_frame(planes, geom, cs.qtables.astype(np.int32), exact=exact)
-    )
+    dense = _jitted_decode_frame(geom, exact)
+    frame = np.asarray(dense(planes, cs.qtables.astype(np.int32)))
     return DecodedImage(frame=frame, geometry=geom, codestream=cs, coefficients=planes)

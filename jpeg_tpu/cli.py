@@ -1,0 +1,100 @@
+"""CLI drivers mirroring the reference binaries.
+
+``python -m jpeg_tpu.cli decode [input.jpg [output.ppm|pgm]]``
+  mirrors decoder main() (decoder.c:703-718): defaults in="Lenna.jpg",
+  output path defaults to output.ppm/output.pgm by component count.
+
+``python -m jpeg_tpu.cli encode [-h N] [-v N] [-q Q] [-o 0|1] [-r Ri]
+                           [input.ppm|pgm [output.jpg]]``
+  mirrors encoder main() (encoder.c:669-724) with the same defaults
+  (H=2, V=1, q=75, optimize=1) plus the restart-interval extension -r.
+
+Exit status: 0 on success, 1 on failure, like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+
+def _decode(args) -> int:
+    from . import decode_jpeg
+    from .errors import JpegError
+
+    try:
+        data = Path(args.input).read_bytes()
+    except OSError:
+        print("fopen failure", file=sys.stderr)
+        return 1
+    try:
+        img = decode_jpeg(data, exact=not args.fast, entropy=args.entropy)
+    except JpegError as e:
+        print(f"Failure. ({type(e).__name__}: {e})", file=sys.stderr)
+        return 1
+    out = args.output
+    if out is None:
+        out = "output.ppm" if img.geometry.nf >= 3 else "output.pgm"
+    Path(out).write_bytes(img.to_pnm())
+    print("Success.")
+    return 0
+
+
+def _encode(args) -> int:
+    from .encoder import EncodeParams, encode_jpeg
+    from .errors import JpegError
+
+    try:
+        data = Path(args.input).read_bytes()
+    except OSError:
+        print("fopen failure", file=sys.stderr)
+        return 1
+    params = EncodeParams(
+        h=args.H,
+        v=args.V,
+        quality=args.quality,
+        optimize=bool(args.optimize),
+        restart_interval=args.restart_interval,
+        exact=not args.fast,
+    )
+    try:
+        jpg = encode_jpeg(data, params)
+    except JpegError as e:
+        print(f"Failure. ({type(e).__name__}: {e})", file=sys.stderr)
+        return 1
+    Path(args.output).write_bytes(jpg)
+    print("Success.")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="jpeg_tpu", add_help=True)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("decode", help="JPEG -> PPM/PGM")
+    d.add_argument("input", nargs="?", default="Lenna.jpg")
+    d.add_argument("output", nargs="?", default=None)
+    d.add_argument("--fast", action="store_true", help="fast f32 path (not bit-exact)")
+    d.add_argument("--entropy", default="auto",
+                   choices=["auto", "serial", "lockstep", "lockstep-jax"])
+    d.set_defaults(fn=_decode)
+
+    e = sub.add_parser("encode", help="PPM/PGM -> JPEG")
+    e.add_argument("-H", "--H", type=int, default=2, help="luma H sampling (1..2)")
+    e.add_argument("-V", "--V", type=int, default=1, help="luma V sampling (1..2)")
+    e.add_argument("-q", "--quality", type=int, default=75)
+    e.add_argument("-o", "--optimize", type=int, default=1)
+    e.add_argument("-r", "--restart-interval", type=int, default=0,
+                   help="MCUs per restart interval (0 = none)")
+    e.add_argument("--fast", action="store_true", help="fast f32 path")
+    e.add_argument("input", nargs="?", default="Lenna.ppm")
+    e.add_argument("output", nargs="?", default="output.jpg")
+    e.set_defaults(fn=_encode)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

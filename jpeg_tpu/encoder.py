@@ -16,6 +16,7 @@ byte-identical to the reference encoder at equal settings.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, Optional
 
 import numpy as np
@@ -117,6 +118,17 @@ def encode_jpeg_from_planes(
     return bytes(out)
 
 
+@lru_cache(maxsize=32)
+def _jitted_encode_frame(geom: FrameGeometry, exact: bool):
+    """One compiled executable per (geometry, mode) for the dense encode."""
+    import jax
+
+    def fn(frame, qtables):
+        return encode_frame(frame, geom, qtables, exact=exact)
+
+    return jax.jit(fn)
+
+
 def encode_jpeg(pnm_bytes: bytes, params: Optional[EncodeParams] = None) -> bytes:
     """Full encode: PNM bytes -> JPEG bytes (process_stream analog)."""
     params = params or EncodeParams()
@@ -130,8 +142,7 @@ def encode_jpeg(pnm_bytes: bytes, params: Optional[EncodeParams] = None) -> byte
     qtables[0] = scale_qtable(STD_LUMINANCE_QUANT, params.quality)
     qtables[1] = scale_qtable(STD_CHROMINANCE_QUANT, params.quality)
 
-    planes = encode_frame(
-        img.data, geom, qtables.astype(np.int32), exact=params.exact
-    )
+    dense = _jitted_encode_frame(geom, params.exact)
+    planes = dense(img.data, qtables.astype(np.int32))
     planes = {cid: np.asarray(p) for cid, p in planes.items()}
     return encode_jpeg_from_planes(planes, geom, qtables, params)

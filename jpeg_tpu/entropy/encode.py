@@ -62,12 +62,21 @@ class ScanSymbols:
 def build_visit_order(
     geom: FrameGeometry, info: ScanInfo
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Block visit order for an interleaved scan (encoder.c:412-464).
+    """Block visit order for a scan.
 
     Returns (comp_idx[n_visits], block_seq[n_visits]) where comp_idx
     indexes info.component_ids and block_seq indexes that component's
-    [n_blocks] plane, ordered MCU-major then component then v then h.
+    [n_blocks] plane.
+
+    Interleaved (Ns>1): MCU-major then component then v then h
+    (encoder.c:412-464).  Non-interleaved (Ns=1): plain raster block
+    order -- the consumption order of the reference's A.2.2 path
+    (decoder.c:274-302 reads blocks_in_mb*seq+w, i.e. consecutive).
     """
+    if info.ns == 1:
+        comp = geom.by_id(info.component_ids[0])
+        n = comp.n_blocks
+        return np.zeros(n, dtype=np.int64), np.arange(n, dtype=np.int64)
     m_x, m_y = geom.m_x, geom.m_y
     per_mcu_comp: List[np.ndarray] = []
     per_mcu_seq: List[np.ndarray] = []
@@ -95,7 +104,13 @@ def symbolize_scan(
     """Blocks -> flat symbol stream (the shared dry/real pass core)."""
     comp_idx, block_seq = build_visit_order(geom, info)
     n_visits = comp_idx.size
-    blocks_per_mcu = n_visits // geom.n_mcus
+    if info.ns == 1:
+        # Non-interleaved: one "MCU step" = H*V consecutive blocks
+        # (decoder.c:283 blocks_in_mb).
+        c0 = geom.by_id(info.component_ids[0])
+        blocks_per_mcu = c0.h * c0.v
+    else:
+        blocks_per_mcu = n_visits // geom.n_mcus
 
     # Gather visited blocks in zig-zag order: [N, 64]
     stacked = [

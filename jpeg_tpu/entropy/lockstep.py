@@ -38,7 +38,7 @@ from ..geometry import FrameGeometry, ScanInfo
 from ..tables import HuffTable
 
 
-@dataclass
+@dataclass(eq=False)  # identity hash: plans are cached + used as static jit args
 class ScanPlan:
     """Static per-scan decode tables + block-mapping constants.
 

@@ -1,0 +1,97 @@
+"""Multi-chip sharding: mesh construction + sharded batched pipelines.
+
+The scaling design (SURVEY §2.2): a 2-D ``('frame', 'tile')`` mesh --
+frames of a Motion-JPEG batch shard over 'frame' (pure data parallel,
+zero communication), the block axis within each frame shards over 'tile'
+(the tensor/sequence-parallel analog; JPEG blocks don't overlap so there
+are no halos, and XLA inserts the all-to-alls needed by the
+blocks->raster transpose and the chroma upsample automatically).  The
+dry-pass histogram reduces over both sharded axes, lowering to a psum
+over the whole mesh -- the collective analog of the reference's
+sequential frequency count (encoder.c:525-558).
+
+Expert (MoE) and pipeline parallelism have no analog in a codec: there is
+no routed computation and the per-frame pipeline is a single fused
+region.  Documented as not-applicable per SURVEY §2.2.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.batch import BatchConfig, decode_batch_ycc, roundtrip_step_ycc
+
+
+def make_mesh(n_devices: Optional[int] = None, tile: Optional[int] = None) -> Mesh:
+    """('frame', 'tile') mesh over the first n_devices devices.
+
+    ``tile`` defaults to 2 when device count is even (so both axes are
+    exercised), else 1.
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if tile is None:
+        tile = 2 if n % 2 == 0 and n >= 2 else 1
+    frame = n // tile
+    arr = np.array(devs).reshape(frame, tile)
+    return Mesh(arr, axis_names=("frame", "tile"))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place [B, n_blocks, ...] arrays as ('frame', 'tile', None...)."""
+    out = []
+    for a in arrays:
+        spec = P("frame", "tile", *([None] * (a.ndim - 2)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def replicate(mesh: Mesh, *arrays):
+    out = [jax.device_put(a, NamedSharding(mesh, P())) for a in arrays]
+    return tuple(out) if len(out) > 1 else out[0]
+
+
+def make_sharded_decoder(cfg: BatchConfig, mesh: Mesh, exact: bool = False):
+    """Jitted batched decode with mesh-sharded inputs/outputs.
+
+    Input coefficient planes are sharded ('frame', 'tile', None); the
+    output RGB batch is sharded ('frame', None, None, None) -- the tile
+    axis gets gathered by the blocks->raster transpose, which XLA lowers
+    to an all-gather over 'tile' riding ICI.
+    """
+    in_spec = NamedSharding(mesh, P("frame", "tile", None))
+    rep = NamedSharding(mesh, P())
+    out_spec = NamedSharding(mesh, P("frame", None, None, None))
+
+    @partial(
+        jax.jit,
+        in_shardings=(in_spec, in_spec, in_spec, rep, rep),
+        out_shardings=out_spec,
+    )
+    def decode(y, cb, cr, qt_luma, qt_chroma):
+        return decode_batch_ycc(cfg, y, cb, cr, qt_luma, qt_chroma, exact=exact)
+
+    return decode
+
+
+def make_sharded_roundtrip(cfg: BatchConfig, mesh: Mesh):
+    """Jitted full-pipeline step (decode + re-encode + histogram psum)."""
+    in_spec = NamedSharding(mesh, P("frame", "tile", None))
+    rep = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(in_spec, in_spec, in_spec, rep, rep),
+        out_shardings=(in_spec, in_spec, in_spec, rep),
+    )
+    def step(y, cb, cr, qt_luma, qt_chroma):
+        return roundtrip_step_ycc(cfg, y, cb, cr, qt_luma, qt_chroma)
+
+    return step

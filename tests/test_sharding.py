@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from jpeg_tpu.models.batch import BatchConfig, decode_batch_ycc
+from jpeg_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_decoder,
+    make_sharded_roundtrip,
+    replicate,
+    shard_batch,
+)
+
+
+def _inputs(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(-64, 64, size=(b, cfg.n_luma_blocks, 64)).astype(np.int32)
+    cb = rng.integers(-32, 32, size=(b, cfg.n_chroma_blocks, 64)).astype(np.int32)
+    cr = rng.integers(-32, 32, size=(b, cfg.n_chroma_blocks, 64)).astype(np.int32)
+    qt_l = np.full(64, 8, dtype=np.int32)
+    qt_c = np.full(64, 16, dtype=np.int32)
+    return y, cb, cr, qt_l, qt_c
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"frame": 4, "tile": 2}
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_decode_matches_single_device():
+    cfg = BatchConfig(height=64, width=64, h=2, v=2)
+    y, cb, cr, qt_l, qt_c = _inputs(cfg, b=8)
+    ref = np.asarray(decode_batch_ycc(cfg, y, cb, cr, qt_l, qt_c))
+
+    mesh = make_mesh(8)
+    with mesh:
+        ys, cbs, crs = shard_batch(mesh, y, cb, cr)
+        ql, qc = replicate(mesh, qt_l, qt_c)
+        out = make_sharded_decoder(cfg, mesh)(ys, cbs, crs, ql, qc)
+    # Sharded vs unsharded compilations fuse differently: tiny f32 drift.
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3)
+
+
+def test_sharded_roundtrip_runs_and_reduces():
+    cfg = BatchConfig(height=64, width=64, h=2, v=2)
+    b = 8
+    y, cb, cr, qt_l, qt_c = _inputs(cfg, b=b, seed=1)
+    mesh = make_mesh(8)
+    with mesh:
+        ys, cbs, crs = shard_batch(mesh, y, cb, cr)
+        ql, qc = replicate(mesh, qt_l, qt_c)
+        y2, cb2, cr2, hist = make_sharded_roundtrip(cfg, mesh)(ys, cbs, crs, ql, qc)
+        jax.block_until_ready((y2, cb2, cr2, hist))
+    assert y2.shape == y.shape
+    assert int(np.asarray(hist).sum()) == b * cfg.n_luma_blocks
+
+
+def test_graft_entry_contract():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 128, 128, 3)
+    ge.dryrun_multichip(8)
