@@ -91,7 +91,7 @@ def main() -> None:
     )
 
     def decode_once(jpg: bytes) -> np.ndarray:
-        img = jpeg_tpu.decode_jpeg(jpg, exact=False, entropy="lockstep-jax")
+        img = jpeg_tpu.decode_jpeg(jpg, exact=False, entropy="auto")
         return img.frame
 
     # Warmup / compile.

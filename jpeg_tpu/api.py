@@ -31,13 +31,19 @@ def _derive_cached(spec: HuffSpec) -> HuffTable:
 def _jitted_decode_frame(geom: FrameGeometry, exact: bool):
     """One compiled executable per (geometry, mode): the dense pipeline
     builds hundreds of ops, and on a remote TPU eager dispatch would cost
-    a round trip per op."""
+    a round trip per op.
+
+    Exact mode stays EAGER: XLA contracts mul+add to FMA inside jitted
+    fusions, which breaks bit-exactness with the reference's strict-IEEE
+    float chain (see ops/dct._contract_last_exact).  Eager per-op
+    dispatch rounds every op separately, matching the C build.
+    """
     import jax
 
     def fn(planes, qtables):
         return decode_frame(planes, geom, qtables, exact=exact)
 
-    return jax.jit(fn)
+    return fn if exact else jax.jit(fn)
 
 
 @dataclass
@@ -93,13 +99,33 @@ def decode_coefficients(
 
     for scan in cs.scans:
         tables = {k: _derive_cached(spec) for k, spec in scan.htables.items()}
-        segments = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
         backend = entropy
         if backend == "auto":
-            # Lockstep decodes restart segments in parallel lanes, but its
-            # per-step cost is fixed -- it only amortizes with enough
-            # lanes.  Few/one segment(s): the serial reader wins.
-            backend = "lockstep" if len(segments) >= 16 else "serial"
+            from . import native as _native
+
+            if _native.available():
+                backend = "native"
+            else:
+                # Lockstep decodes restart segments in parallel lanes, but
+                # its per-step cost is fixed -- it only amortizes with
+                # enough lanes; otherwise the serial reader wins.
+                backend = "lockstep" if len(segments) >= 16 else "serial"
+        if backend == "native":
+            from .entropy.native import decode_scan_native
+            from .format.parse import unstuff_ranges
+
+            seg_bytes, seg_offsets = unstuff_ranges(data, scan.ecs_ranges)
+            decode_scan_native(
+                geom,
+                scan.info,
+                tables,
+                planes,
+                ri=scan.ri,
+                seg_bytes=seg_bytes,
+                seg_offsets=seg_offsets,
+            )
+            continue
+        segments = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
         if backend == "serial":
             from .entropy.serial import decode_scan_serial
 

@@ -120,13 +120,17 @@ def encode_jpeg_from_planes(
 
 @lru_cache(maxsize=32)
 def _jitted_encode_frame(geom: FrameGeometry, exact: bool):
-    """One compiled executable per (geometry, mode) for the dense encode."""
+    """One compiled executable per (geometry, mode) for the dense encode.
+
+    Exact mode stays eager: jitted fusions FMA-contract mul+add chains,
+    breaking bit-exactness with the reference (api._jitted_decode_frame).
+    """
     import jax
 
     def fn(frame, qtables):
         return encode_frame(frame, geom, qtables, exact=exact)
 
-    return jax.jit(fn)
+    return fn if exact else jax.jit(fn)
 
 
 def encode_jpeg(pnm_bytes: bytes, params: Optional[EncodeParams] = None) -> bytes:

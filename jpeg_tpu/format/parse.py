@@ -132,25 +132,31 @@ class _Reader:
                 continue
 
 
-def _find_ecs_end(data: bytes, start: int) -> int:
-    """First index >= start where 0xFF is followed by a non-zero byte.
+class _EcsEndIndex:
+    """All ECS-terminator positions, computed once per buffer.
 
-    This is exactly the reference's ECS termination rule
-    (read_ecs_byte, io.c:247-274).  A trailing lone 0xFF at EOF also
-    terminates.  Vectorized over the buffer.
+    A terminator is an 0xFF followed by a non-zero byte (the reference's
+    read_ecs_byte rule, io.c:247-274), or a trailing lone 0xFF.  One
+    vectorized pass + binary search per query keeps many-segment streams
+    O(n + S log n) instead of O(n * S).
     """
-    buf = np.frombuffer(data, dtype=np.uint8)
-    tail = buf[start:]
-    if tail.size == 0:
-        return start
-    is_ff = tail[:-1] == 0xFF
-    nonzero_next = tail[1:] != 0x00
-    hits = np.nonzero(is_ff & nonzero_next)[0]
-    if hits.size:
-        return start + int(hits[0])
-    if tail[-1] == 0xFF:
-        return start + tail.size - 1
-    return start + tail.size
+
+    def __init__(self, data: bytes):
+        buf = np.frombuffer(data, dtype=np.uint8)
+        self.n = buf.size
+        if buf.size >= 2:
+            hits = np.nonzero((buf[:-1] == 0xFF) & (buf[1:] != 0x00))[0]
+        else:
+            hits = np.zeros(0, dtype=np.int64)
+        if buf.size and buf[-1] == 0xFF:
+            hits = np.append(hits, buf.size - 1)
+        self.hits = hits
+
+    def find(self, start: int) -> int:
+        i = np.searchsorted(self.hits, start)
+        if i < self.hits.size:
+            return int(self.hits[i])
+        return self.n
 
 
 def unstuff(data: bytes) -> np.ndarray:
@@ -164,6 +170,29 @@ def unstuff(data: bytes) -> np.ndarray:
     prev_is_ff = np.concatenate(([False], buf[:-1] == 0xFF))
     drop = (buf == 0x00) & prev_is_ff
     return buf[~drop]
+
+
+def unstuff_ranges(data: bytes, ranges) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch unstuff: one pass over the buffer for ALL ECS ranges.
+
+    Returns (concatenated unstuffed bytes, offsets[S+1]) -- the layout
+    the native decode kernel consumes directly.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8)
+    prev_is_ff = np.empty(buf.size, dtype=bool)
+    if buf.size:
+        prev_is_ff[0] = False
+        np.equal(buf[:-1], 0xFF, out=prev_is_ff[1:])
+    keep = ~((buf == 0x00) & prev_is_ff)
+    kept_before = np.concatenate(([0], np.cumsum(keep)))
+
+    sel = np.zeros(buf.size, dtype=bool)
+    offsets = np.zeros(len(ranges) + 1, dtype=np.int64)
+    for i, (s, e) in enumerate(ranges):
+        sel[s:e] = True
+        offsets[i + 1] = offsets[i] + (kept_before[e] - kept_before[s])
+    out = buf[sel & keep]
+    return out, offsets
 
 
 def _parse_dqt_segment(r: _Reader, cs: Codestream, seg_len: int) -> None:
@@ -254,6 +283,7 @@ def _parse_sos(r: _Reader, cs: Codestream) -> ScanInfo:
 def parse_codestream(data: bytes) -> Codestream:
     """Full marker walk (decoder.c:472-659), ECS bodies left as byte ranges."""
     cs = Codestream()
+    ecs_index = _EcsEndIndex(data)
     htables: Dict[Tuple[int, int], HuffSpec] = {
         key: HuffSpec.from_pair(pair) for key, pair in DEFAULT_HTABLES.items()
     }
@@ -306,14 +336,14 @@ def parse_codestream(data: bytes) -> Codestream:
             info = _parse_sos(r, cs)
             current_scan = Scan(info=info, htables=dict(htables), ri=cs.ri)
             cs.scans.append(current_scan)
-            end = _find_ecs_end(data, r.pos)
+            end = ecs_index.find(r.pos)
             current_scan.ecs_ranges.append((r.pos, end))
             r.pos = end
             continue
         if is_rst(marker):
             if current_scan is None:
                 raise UnsupportedError("RST marker outside scan")
-            end = _find_ecs_end(data, r.pos)
+            end = ecs_index.find(r.pos)
             current_scan.ecs_ranges.append((r.pos, end))
             r.pos = end
             continue

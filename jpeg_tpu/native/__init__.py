@@ -1,0 +1,122 @@
+"""ctypes bindings for the native host entropy kernel.
+
+Builds lazily with make/g++ on first use; every entry point degrades
+gracefully (``available() -> False``) when no toolchain exists, and the
+pure-Python/JAX backends take over.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_LIB_PATH = _HERE / "libjpegtpu.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        res = subprocess.run(
+            ["make", "-C", str(_HERE), "-s"],
+            capture_output=True,
+            timeout=120,
+        )
+        return res.returncode == 0 and _LIB_PATH.exists()
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+
+        i8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.jt_decode_segments.restype = None
+        lib.jt_decode_segments.argtypes = [
+            i8p, i64p, ctypes.c_int32, i32p, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            i32p, i64p, i64p, ctypes.c_int32,
+        ]
+        lib.jt_find_ecs_end.restype = ctypes.c_int64
+        lib.jt_find_ecs_end.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64]
+        lib.jt_unstuff.restype = ctypes.c_int64
+        lib.jt_unstuff.argtypes = [i8p, ctypes.c_int64, i8p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def decode_segments_native(
+    seg_bytes: np.ndarray,  # concatenated unstuffed bytes, uint8
+    seg_offsets: np.ndarray,  # [S+1] int64
+    lut16: np.ndarray,  # [T, 65536] int32
+    slot_dc_tab: np.ndarray,  # [bpm] int32
+    slot_ac_tab: np.ndarray,
+    slot_comp: np.ndarray,
+    n_comps: int,
+    max_blocks_per_seg: int,
+    n_threads: int = 0,
+):
+    """Returns (blocks [S, max_blocks, 64] int32 visit order,
+    blocks_written [S], mcu_counts [S])."""
+    lib = _load()
+    assert lib is not None
+    S = seg_offsets.size - 1
+    bpm = slot_comp.size
+    out = np.zeros((S, max_blocks_per_seg, 64), dtype=np.int32)
+    written = np.zeros(S, dtype=np.int64)
+    counts = np.zeros(S, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+
+    seg_bytes = np.ascontiguousarray(seg_bytes, dtype=np.uint8)
+    seg_offsets = np.ascontiguousarray(seg_offsets, dtype=np.int64)
+    lut16 = np.ascontiguousarray(lut16, dtype=np.int32)
+    slot_dc_tab = np.ascontiguousarray(slot_dc_tab, dtype=np.int32)
+    slot_ac_tab = np.ascontiguousarray(slot_ac_tab, dtype=np.int32)
+    slot_comp = np.ascontiguousarray(slot_comp, dtype=np.int32)
+
+    lib.jt_decode_segments(
+        _ptr(seg_bytes, ctypes.c_uint8),
+        _ptr(seg_offsets, ctypes.c_int64),
+        ctypes.c_int32(S),
+        _ptr(lut16, ctypes.c_int32),
+        _ptr(slot_dc_tab, ctypes.c_int32),
+        _ptr(slot_ac_tab, ctypes.c_int32),
+        _ptr(slot_comp, ctypes.c_int32),
+        ctypes.c_int32(bpm),
+        ctypes.c_int32(n_comps),
+        ctypes.c_int64(max_blocks_per_seg),
+        _ptr(out, ctypes.c_int32),
+        _ptr(written, ctypes.c_int64),
+        _ptr(counts, ctypes.c_int64),
+        ctypes.c_int32(n_threads),
+    )
+    return out, written, counts

@@ -1,0 +1,222 @@
+// Host-side entropy kernel: fast serial Huffman decode of ECS segments,
+// threaded across restart segments.
+//
+// This is the native runtime component of the engine (the reference's
+// entropy layer is its hot path: per-bit linear code scan,
+// huffman.c:193-225 + io.c:18-41).  Design here: a 64-bit bit buffer, a
+// 16-bit-window LUT per table (one load per symbol instead of a per-bit
+// scan), and segment-level parallelism with std::thread -- segments are
+// independent because T.81 resets DC prediction and byte-aligns at every
+// restart marker.
+//
+// Semantics mirror jpeg_tpu.entropy.serial exactly, including
+// end-of-segment behaviour: a symbol whose code or extra bits would
+// consume past the final byte terminates the segment mid-block, keeping
+// partially written coefficients and the raw (predictor-less) DC diff,
+// like the reference's NO_MORE_DATA unwind (io.c:247-274).
+//
+// Output is written in VISIT order (block-sequential within the
+// segment); the Python caller computes global placement from the
+// prefix-sum of per-segment MCU counts (same contract as the lockstep
+// engines).
+//
+// Build: make -C jpeg_tpu/native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbytes;
+  int64_t bitpos = 0;
+  uint64_t buf = 0;  // MSB-aligned window of the next bits
+  int64_t bytepos = 0;
+  int nbuf = 0;
+
+  explicit BitReader(const uint8_t* d, int64_t n) : data(d), nbytes(n) {}
+
+  inline void fill() {
+    while (nbuf <= 56) {
+      uint64_t b = bytepos < nbytes ? data[bytepos] : 0;
+      ++bytepos;
+      buf |= b << (56 - nbuf);
+      nbuf += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    fill();
+    return static_cast<uint32_t>(buf >> 48);
+  }
+
+  // Consume n bits; returns false when that passes the end of data
+  // (reference NO_MORE_DATA).
+  inline bool consume(int n) {
+    if (bitpos + n > nbytes * 8) {
+      bitpos = nbytes * 8;
+      return false;
+    }
+    buf <<= n;
+    nbuf -= n;
+    bitpos += n;
+    return true;
+  }
+
+  inline uint32_t peek_after(int skip, int n) {
+    // bits [skip, skip+n) of the current window; skip+n <= 48.
+    fill();
+    if (n == 0) return 0;
+    return static_cast<uint32_t>((buf >> (64 - skip - n)) &
+                                 ((1u << n) - 1));
+  }
+};
+
+inline int32_t extend_coeff(int cat, uint32_t extra) {
+  if (cat == 0) return 0;
+  if (extra >> (cat - 1)) return static_cast<int32_t>(extra);
+  return static_cast<int32_t>(extra) - (1 << cat) + 1;
+}
+
+// Decode one segment.  Returns blocks written (complete or partial);
+// *out_mcus = completed MCU count.
+int64_t decode_segment(const uint8_t* bytes, int64_t nbytes,
+                       const int32_t* lut16,  // [n_tables][65536]
+                       const int32_t* slot_dc_tab, const int32_t* slot_ac_tab,
+                       const int32_t* slot_comp, int32_t bpm, int32_t n_comps,
+                       int64_t max_blocks, int32_t* out, int64_t* out_mcus) {
+  BitReader br(bytes, nbytes);
+  std::vector<int32_t> dc_pred(n_comps, 0);
+  int64_t block = 0;  // visit-order block index
+  int64_t mcus = 0;
+  int slot = 0;
+
+  while (block < max_blocks) {
+    int32_t* coeffs = out + block * 64;
+    std::memset(coeffs, 0, 64 * sizeof(int32_t));
+    const int32_t* dc_lut = lut16 + (int64_t)slot_dc_tab[slot] * 65536;
+    const int32_t* ac_lut = lut16 + (int64_t)slot_ac_tab[slot] * 65536;
+    const int comp = slot_comp[slot];
+
+    // --- DC ---
+    int32_t packed = dc_lut[br.peek16()];
+    if (packed < 0) goto done;  // invalid prefix: drain like the reference
+    {
+      int len = packed & 0xff;
+      int cat = packed >> 8;
+      if (cat > 16) goto done;  // corrupt
+      uint32_t extra = br.peek_after(len, cat);
+      if (!br.consume(len + cat)) goto done;
+      coeffs[0] = extend_coeff(cat, extra);  // raw diff until block done
+      ++block;                               // partial block is kept
+    }
+
+    // --- AC ---
+    {
+      int i = 1;
+      int rem = 63;
+      while (rem > 0) {
+        int32_t p = ac_lut[br.peek16()];
+        if (p < 0) { goto done; }
+        int len = p & 0xff;
+        int val = p >> 8;
+        int cat = val & 15;
+        int zrl = val >> 4;
+        uint32_t extra = br.peek_after(len, cat);
+        if (!br.consume(len + cat)) goto done;
+        if (val == 0) break;  // EOB
+        i += zrl;
+        if (i > 63) goto done;  // corrupt run
+        coeffs[kZigzag[i]] = extend_coeff(cat, extra);
+        ++i;
+        rem -= zrl + 1;
+      }
+    }
+
+    // Block completed: fold predictor in (decoder.c:350-355 order).
+    coeffs[0] += dc_pred[comp];
+    dc_pred[comp] = coeffs[0];
+
+    ++slot;
+    if (slot == bpm) {
+      slot = 0;
+      ++mcus;
+    }
+  }
+
+done:
+  *out_mcus = mcus;
+  return block;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode many segments in parallel.
+//   seg_bytes/seg_offsets: concatenated unstuffed segment bytes;
+//     segment k = bytes[seg_offsets[k] .. seg_offsets[k+1])
+//   out: [n_segments * max_blocks_per_seg * 64] int32, visit order
+//   blocks_written / mcu_counts: per-segment results
+void jt_decode_segments(const uint8_t* seg_bytes, const int64_t* seg_offsets,
+                        int32_t n_segments, const int32_t* lut16,
+                        const int32_t* slot_dc_tab, const int32_t* slot_ac_tab,
+                        const int32_t* slot_comp, int32_t bpm,
+                        int32_t n_comps, int64_t max_blocks_per_seg,
+                        int32_t* out, int64_t* blocks_written,
+                        int64_t* mcu_counts, int32_t n_threads) {
+  auto work = [&](int32_t k) {
+    const uint8_t* bytes = seg_bytes + seg_offsets[k];
+    int64_t nbytes = seg_offsets[k + 1] - seg_offsets[k];
+    blocks_written[k] = decode_segment(
+        bytes, nbytes, lut16, slot_dc_tab, slot_ac_tab, slot_comp, bpm,
+        n_comps, max_blocks_per_seg, out + (int64_t)k * max_blocks_per_seg * 64,
+        &mcu_counts[k]);
+  };
+
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int32_t k = 0; k < n_segments; ++k) work(k);
+    return;
+  }
+  int nt = n_threads < n_segments ? n_threads : n_segments;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int32_t k = t; k < n_segments; k += nt) work(k);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Fast ECS end scan: first index >= start where 0xFF is followed by a
+// non-zero byte (or a trailing lone 0xFF); mirrors io.c:247-274.
+int64_t jt_find_ecs_end(const uint8_t* data, int64_t n, int64_t start) {
+  for (int64_t i = start; i + 1 < n; ++i) {
+    if (data[i] == 0xFF && data[i + 1] != 0x00) return i;
+  }
+  if (n > start && data[n - 1] == 0xFF) return n - 1;
+  return n;
+}
+
+// Unstuff in place semantics: copy dropping the 0x00 after each 0xFF.
+// Returns unstuffed length.
+int64_t jt_unstuff(const uint8_t* src, int64_t n, uint8_t* dst) {
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    dst[o++] = src[i];
+    if (src[i] == 0xFF && i + 1 < n && src[i + 1] == 0x00) ++i;
+  }
+  return o;
+}
+
+}  // extern "C"

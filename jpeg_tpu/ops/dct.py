@@ -48,7 +48,16 @@ def dct_lut_f32() -> np.ndarray:
 
 
 def _contract_last_exact(x, mat: np.ndarray):
-    """out[..., i] = sum_k x[..., k] * mat[i, k], ascending k, f32 order."""
+    """out[..., i] = sum_k x[..., k] * mat[i, k], ascending k, f32 order.
+
+    IMPORTANT: bit-exactness holds only in EAGER execution.  Inside a
+    jitted fusion, XLA:CPU's LLVM backend contracts mul+add chains into
+    FMAs (single rounding), diverging from the reference's strict-IEEE
+    build; neither optimization_barrier nor bitcast round-trips block
+    the contraction.  The exact pipelines therefore run unjitted
+    (api._maybe_jit), where each op is its own executable and rounds
+    separately.  The fast (jitted, MXU) path uses the matmul kernels.
+    """
     cols = []
     for i in range(8):
         s = x[..., 0] * mat[i, 0]
