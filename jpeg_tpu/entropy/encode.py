@@ -309,6 +309,18 @@ def pack_scan(
             t = tables[(tc, int(th))]
             code[sel] = t.ehufco[symbols.sym[sel]]
             size[sel] = t.ehufsi[symbols.sym[sel]]
+    if n and (size == 0).any():
+        # A used symbol has no code in the selected table -- e.g. 12-bit
+        # DC categories > 11 against the 8-bit default tables.  The
+        # reference fails hard here too (value_to_vlc -1, huffman.c:252,
+        # leaving a truncated file); raise a clean error instead.
+        from ..errors import UnsupportedError
+
+        bad = int(symbols.sym[size == 0][0])
+        raise UnsupportedError(
+            f"symbol 0x{bad:02x} has no code in the selected Huffman table "
+            "(content exceeds table range; use optimized tables)"
+        )
 
     item_val = (code << symbols.extra_len) | symbols.extra_val
     item_len = size + symbols.extra_len

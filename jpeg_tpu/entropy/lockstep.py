@@ -68,6 +68,7 @@ class ScanPlan:
     valptr: np.ndarray  # [T, 17]
     huffval: np.ndarray  # [T, 256]
     n_comps: int
+    max_codes: int = 256  # longest table's code count (one-hot width hint)
 
 
 def build_scan_plan(
@@ -91,12 +92,14 @@ def build_scan_plan(
     maxcode = np.full((T, 17), -1, dtype=np.int64)
     valptr = np.zeros((T, 17), dtype=np.int64)
     huffval = np.zeros((T, 256), dtype=np.int64)
+    max_codes = 1
     for t, key in enumerate(keys):
         tab = tables[key]
         mincode[t] = tab.mincode
         maxcode[t] = tab.maxcode
         valptr[t] = tab.valptr
         huffval[t, : tab.n_codes] = tab.huffval
+        max_codes = max(max_codes, tab.n_codes)
     tab_index = {k: i for i, k in enumerate(keys)}
 
     # Slot layout.
@@ -149,6 +152,7 @@ def build_scan_plan(
         valptr=valptr,
         huffval=huffval,
         n_comps=len(comps),
+        max_codes=max_codes,
     )
 
 

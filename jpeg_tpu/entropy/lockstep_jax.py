@@ -1,30 +1,27 @@
-"""JAX/TPU lockstep entropy decoder.
+"""JAX/TPU lockstep entropy decoder (scan + one-hot engine).
 
-The accelerator port of ``lockstep.py``: identical per-step math, but the
-lockstep loop is a ``lax.while_loop`` of jitted vector ops, so Huffman
-decoding itself runs ON the device and its output (a
-``[total_blocks, 64]`` int32 coefficient tensor) feeds the dense pipeline
-with no host round trip.  Segments are lanes; dead lanes no-op; the loop
-exits as soon as every lane drains.
+The accelerator port of ``lockstep.py``.  All ECS segments decode
+simultaneously, one Huffman symbol per lane per step.  The TPU mapping is
+driven by two measured facts about this hardware (see memory/bench notes):
 
-TPU mapping notes:
-  * all per-step state is [S]-shaped int32 in vector registers;
-  * the 48-bit window load is 6 gathered bytes combined in uint64;
-  * canonical decode = 16 parallel compares against per-length maxcode
-    (VPU-friendly, no 64K LUT gather);
-  * emissions record (local_mcu, slot, pos, value) in preallocated
-    [max_steps, S] buffers; global placement happens after the loop:
-    an exclusive prefix-sum of per-lane MCU counts (the "ring-attention"
-    trick of SURVEY §2.2) plus one vectorized block-index computation and
-    a scatter with mode='drop' for dead/out-of-range emissions.
+  * per-lane dynamic gathers (take_along_axis) cost ~350us/step -- every
+    data-dependent load is therefore a ONE-HOT masked reduction (VPU) or
+    a one-hot matmul (MXU), never a gather;
+  * loop iterations with HBM-carried state cost ~100us regardless of
+    body size -- the loop is ``lax.scan`` with ``unroll`` so several
+    symbol steps amortize one iteration, and emissions leave the loop as
+    scan ys (no loop-carried emission buffers at all).
 
-Correctness is pinned by cross-validation against the NumPy lockstep
-engine and the serial oracle (tests/test_lockstep_jax.py).
+Correctness contract (shared with the NumPy engine and the C++ kernel):
+segments are independent (T.81 resets DC prediction at RST markers); DC
+is emitted as the raw diff at DC time plus an order-independent
+scatter-ADD of the predictor at block completion; global placement uses
+an exclusive prefix-sum of per-segment MCU counts.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -33,19 +30,14 @@ import numpy as np
 
 from ..constants import ZIGZAG
 from ..geometry import FrameGeometry, ScanInfo
-from ..tables import HuffTable
+from ..tables import HuffTable, derive_table
 from .lockstep import ScanPlan, _pad_segments, build_scan_plan
 
-
-from functools import lru_cache
-
-from ..tables import derive_table
+UNROLL = 8
 
 
 @lru_cache(maxsize=256)
 def _cached_plan(geom, info, spec_items) -> ScanPlan:
-    """Plans are static jit arguments: cache them so identical geometry +
-    table sets reuse one compiled executable."""
     tables = {k: derive_table(spec) for k, spec in spec_items}
     return build_scan_plan(geom, info, tables)
 
@@ -66,181 +58,307 @@ def _plan_consts(plan: ScanPlan):
         mincode=c(plan.mincode),
         maxcode=c(plan.maxcode),
         valptr=c(plan.valptr),
-        huffval=c(plan.huffval),
+        # one-hot width = longest table, padded to a lane multiple
+        huffval=c(plan.huffval[:, : ((plan.max_codes + 63) // 64) * 64]),
         zigzag=c(ZIGZAG),
     )
 
 
+def _slot_lookup(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """table[slot] for a tiny per-slot table, as a select chain (no gather)."""
+    n = int(table.shape[0])
+    out = jnp.broadcast_to(table[0], slot.shape)
+    for s in range(1, n):
+        out = jnp.where(slot == s, table[s], out)
+    return out
+
+
 def _block_index(plan: ScanPlan, k, gmcu, slot):
-    """Global block index of (mcu, slot); pure arithmetic, any shape."""
+    """Global block index of (mcu, slot); select-chain lookups, any shape."""
     if plan.interleaved:
         my = gmcu // plan.m_x
         mx = gmcu % plan.m_x
-        seq = (my * k["slot_V"][slot] + k["slot_v"][slot]) * k["slot_bx"][slot] + (
-            mx * k["slot_H"][slot] + k["slot_h"][slot]
+        seq = (
+            my * _slot_lookup(k["slot_V"], slot) + _slot_lookup(k["slot_v"], slot)
+        ) * _slot_lookup(k["slot_bx"], slot) + (
+            mx * _slot_lookup(k["slot_H"], slot) + _slot_lookup(k["slot_h"], slot)
         )
     else:
-        seq = gmcu * plan.blocks_per_mcu + k["slot_h"][slot]
-    ok = seq < k["slot_nblocks"][slot]
-    return k["slot_plane_offset"][slot] + seq, ok
+        seq = gmcu * plan.blocks_per_mcu + _slot_lookup(k["slot_h"], slot)
+    ok = seq < _slot_lookup(k["slot_nblocks"], slot)
+    return _slot_lookup(k["slot_plane_offset"], slot) + seq, ok
 
 
-@partial(jax.jit, static_argnames=("plan", "max_steps", "total_blocks"))
+def _onehot_pick(table_2d: jnp.ndarray, idx: jnp.ndarray, iota: jnp.ndarray):
+    """rowwise[lane] = table_2d[lane, idx[lane]] as one-hot masked sum."""
+    sel = iota == idx[:, None]
+    return jnp.where(sel, table_2d, 0).sum(axis=1, dtype=table_2d.dtype)
+
+
+def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
+    """Decode one symbol on every live lane.  Pure one-hot/select math in
+    uint32 (uint64 is emulated on TPU and costs ~2-3x).
+
+    carry: (bitpos, alive, mcu, slot, coeff, dc_pred[S,C], cur_diff)
+    returns (new_carry, (em_key, em_val, ad_key, ad_val)) with keys packed
+    as (mcu*bpm + slot)*64 + pos + 1 (0 = invalid).
+    """
+    bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff = carry
+    S = bitpos.shape[0]
+
+    # ---- 32-bit window via one-hot word selection ---------------------
+    # A symbol consumes <= 31 bits (16 code + 15 extra), so a 32-bit
+    # window suffices.  bits [bitpos, bitpos+32) = (w0 << r) | (w1 >> 32-r).
+    widx = bitpos >> 5
+    sel0 = iota_w == widx[:, None]
+    sel1 = iota_w == (widx + 1)[:, None]
+    w0 = jnp.where(sel0, words, 0).sum(axis=1, dtype=jnp.uint32)
+    w1 = jnp.where(sel1, words, 0).sum(axis=1, dtype=jnp.uint32)
+    r = (bitpos & 31).astype(jnp.uint32)
+    win = jnp.where(
+        r == 0, w0, (w0 << r) | (w1 >> (jnp.uint32(32) - jnp.maximum(r, 1)))
+    )
+    code16 = (win >> jnp.uint32(16)).astype(jnp.int32)
+
+    # ---- canonical decode ---------------------------------------------
+    is_dc = coeff == 0
+    tab = jnp.where(
+        is_dc,
+        _slot_lookup(k["slot_dc_tab"], slot),
+        _slot_lookup(k["slot_ac_tab"], slot),
+    )
+    T = int(k["maxcode"].shape[0])
+    maxc = jnp.broadcast_to(k["maxcode"][0][1:], (S, 16))
+    for t in range(1, T):
+        maxc = jnp.where((tab == t)[:, None], k["maxcode"][t][1:], maxc)
+    ls = jnp.arange(1, 17, dtype=jnp.int32)
+    prefixes = code16[:, None] >> (16 - ls)[None, :]
+    ok_mat = prefixes <= maxc
+    any_ok = ok_mat.any(axis=1)
+    length = jnp.where(any_ok, jnp.argmax(ok_mat, axis=1).astype(jnp.int32) + 1, 16)
+    pref_l = code16 >> (16 - length)
+
+    # valptr/mincode[tab, length]: stack per-t rows then one-hot over the
+    # 16 lengths (avoids 17-deep select chains).
+    len_iota = jnp.arange(1, 17, dtype=jnp.int32)[None, :]
+    vp_rows = jnp.broadcast_to(k["valptr"][0][1:], (S, 16))
+    mc_rows = jnp.broadcast_to(k["mincode"][0][1:], (S, 16))
+    for t in range(1, T):
+        sel = (tab == t)[:, None]
+        vp_rows = jnp.where(sel, k["valptr"][t][1:], vp_rows)
+        mc_rows = jnp.where(sel, k["mincode"][t][1:], mc_rows)
+    base = _onehot_pick(vp_rows, length - 1, jnp.arange(16)[None, :])
+    minc = _onehot_pick(mc_rows, length - 1, jnp.arange(16)[None, :])
+    vidx = jnp.clip(base + pref_l - minc, 0, iota256.shape[1] - 1)
+
+    # value = huffval[tab, vidx] via one-hot matmul on the MXU: bf16 holds
+    # integers <= 256 exactly.
+    oh = (iota256 == vidx[:, None]).astype(jnp.bfloat16)  # [S, 256]
+    hv_cols = k["huffval"].astype(jnp.bfloat16).T  # [256, T]
+    picked = jnp.dot(oh, hv_cols, preferred_element_type=jnp.float32)  # [S, T]
+    value = picked[:, 0].astype(jnp.int32)
+    for t in range(1, T):
+        value = jnp.where(tab == t, picked[:, t].astype(jnp.int32), value)
+
+    # cat clamped to 16 so the 32-bit window shifts stay in range; the
+    # corrupt test uses the raw value (DC categories > 16 kill the lane,
+    # same as the NumPy engine).
+    cat = jnp.where(is_dc, jnp.minimum(value, 16), value & 15)
+    corrupt = (~any_ok) | (is_dc & (value > 16))
+    need = length + cat
+    overrun = bitpos + need > nbits
+    die = (~alive) | corrupt | overrun
+
+    # Window bits [length, length+cat) are the extra bits.
+    extra = (win >> (jnp.uint32(32) - jnp.minimum(need, 32).astype(jnp.uint32))).astype(
+        jnp.int32
+    ) & ((jnp.int32(1) << cat) - 1)
+    sign = extra >> jnp.maximum(cat - 1, 0)
+    neg = extra - (jnp.int32(1) << cat) + 1
+    coef_val = jnp.where(cat == 0, 0, jnp.where(sign != 0, extra, neg))
+
+    # Best-effort NULL-block parity (lane-local MCU; corrupt streams only).
+    _, block_ok = _block_index(plan, k, mcu, slot)
+    comp = _slot_lookup(k["slot_comp"], slot)
+    dc_null = (~die) & is_dc & (~block_ok) & plan.interleaved
+
+    rs = value
+    is_eob = (~is_dc) & (rs == 0)
+    zrl = jnp.where(is_dc, 0, rs >> 4)
+    new_coeff = jnp.where(is_dc, 1, coeff + zrl)
+    ac_corrupt = (~die) & (~is_dc) & (~is_eob) & (new_coeff > 63)
+    die = die | dc_null | ac_corrupt
+    live = (~die) & alive
+
+    write = live & block_ok & (is_dc | (~is_eob))
+    nc = jnp.clip(new_coeff, 0, 63)
+    zz = _onehot_pick(
+        jnp.broadcast_to(k["zigzag"][None, :], (S, 64)),
+        nc,
+        jnp.arange(64)[None, :],
+    )
+    pos = jnp.where(is_dc, 0, zz)
+
+    # Emission keys: mcu*BPMx64 + slot*64 + pos, +1 so 0 = invalid.
+    em_key = jnp.where(write, (mcu * plan.blocks_per_mcu + slot) * 64 + pos + 1, 0)
+    em_val = coef_val
+
+    cur_diff = jnp.where(live & is_dc, coef_val, cur_diff)
+    after_coeff = jnp.where(is_dc, 1, new_coeff + 1)
+    block_done = live & (is_eob | (after_coeff >= 64))
+
+    # dc_pred[lane, comp]: C is tiny -> one-hot select/update.
+    C = int(dc_pred.shape[1])
+    comp_oh = comp[:, None] == jnp.arange(C)[None, :]
+    pred_here = jnp.where(comp_oh, dc_pred, 0).sum(axis=1, dtype=jnp.int32)
+    addw = block_done & block_ok
+    ad_key = jnp.where(addw, (mcu * plan.blocks_per_mcu + slot) * 64 + 1, 0)
+    ad_val = pred_here
+    dc_pred = jnp.where(
+        comp_oh & block_done[:, None], (pred_here + cur_diff)[:, None], dc_pred
+    )
+
+    next_slot = jnp.where(block_done, slot + 1, slot)
+    wrap = next_slot >= plan.blocks_per_mcu
+    mcu = jnp.where(live, mcu + (block_done & wrap), mcu)
+    slot = jnp.where(live, jnp.where(wrap, 0, next_slot), slot)
+    coeff = jnp.where(live, jnp.where(block_done, 0, after_coeff), coeff)
+    bitpos = jnp.where(live, bitpos + need, nbits)
+    alive = live
+
+    carry = (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff)
+    return carry, (em_key, em_val, ad_key, ad_val)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "max_steps", "total_blocks", "frames", "segs_per_frame"),
+)
 def decode_scan_device(
     plan: ScanPlan,
-    bytes_mat: jnp.ndarray,  # [S, L+8] uint8
+    words: jnp.ndarray,  # [S, Wn] uint32 big-endian segment words
     nbits: jnp.ndarray,  # [S] int32
     max_steps: int,
-    total_blocks: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full on-device scan decode -> (counts[S], coeffs[total_blocks, 64])."""
+    total_blocks: int,  # blocks per frame
+    frames: int = 1,
+    segs_per_frame: int = 0,  # 0 -> S (single frame)
+):
+    """On-device scan decode -> (counts[S], coeffs[frames*total_blocks, 64]).
+
+    With frames > 1, lanes are grouped per frame (segs_per_frame each) and
+    MCU prefix sums reset per frame -- the Motion-JPEG batch path.
+    """
     k = _plan_consts(plan)
-    S = bytes_mat.shape[0]
-    bpm = plan.blocks_per_mcu
-    offs6 = jnp.arange(6, dtype=jnp.int32)
-    shift6 = jnp.uint64(40) - jnp.uint64(8) * jnp.arange(6, dtype=jnp.uint64)
-    lane_iota = jnp.arange(S)
+    S = words.shape[0]
+    spf = segs_per_frame or S
+    iota_w = jnp.arange(words.shape[1], dtype=jnp.int32)[None, :]
+    iota256 = jnp.arange(k["huffval"].shape[1], dtype=jnp.int32)[None, :]
 
-    def step(state):
-        (n, bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff, bufs) = state
-        em_mcu, em_slot, em_pos, em_val, ad_mcu, ad_slot, ad_val = bufs
-
-        p = bitpos >> 3
-        r = (bitpos & 7).astype(jnp.uint64)
-        raw = jnp.take_along_axis(
-            bytes_mat, p[:, None] + offs6[None, :], axis=1
-        ).astype(jnp.uint64)
-        win48 = (raw << shift6[None, :]).sum(axis=1, dtype=jnp.uint64)
-        win48 = (win48 << r) & jnp.uint64((1 << 48) - 1)
-        code16 = (win48 >> jnp.uint64(32)).astype(jnp.int32)
-
-        is_dc = coeff == 0
-        tab = jnp.where(is_dc, k["slot_dc_tab"][slot], k["slot_ac_tab"][slot])
-
-        ls = jnp.arange(1, 17, dtype=jnp.int32)
-        prefixes = code16[:, None] >> (16 - ls)[None, :]
-        ok = prefixes <= k["maxcode"][tab][:, 1:]
-        any_ok = ok.any(axis=1)
-        length = jnp.where(any_ok, jnp.argmax(ok, axis=1).astype(jnp.int32) + 1, 16)
-        pref_l = code16 >> (16 - length)
-        vidx = jnp.clip(
-            k["valptr"][tab, length] + pref_l - k["mincode"][tab, length], 0, 255
-        )
-        value = k["huffval"][tab, vidx]
-
-        cat = jnp.where(is_dc, jnp.minimum(value, 31), value & 15)
-        corrupt = (~any_ok) | (cat > 16)
-        need = length + cat
-        overrun = bitpos + need > nbits
-        die = (~alive) | corrupt | overrun
-
-        extra = (
-            (win48 >> (jnp.uint64(48) - jnp.minimum(need, 48).astype(jnp.uint64)))
-        ).astype(jnp.int32) & ((jnp.int32(1) << cat) - 1)
-        sign = extra >> jnp.maximum(cat - 1, 0)
-        neg = extra - (jnp.int32(1) << cat) + 1
-        coef_val = jnp.where(cat == 0, 0, jnp.where(sign != 0, extra, neg))
-
-        # Best-effort NULL-block parity uses the lane-local MCU index
-        # (same approximation as the NumPy engine; only reachable on
-        # corrupt streams -- valid lanes never overrun their grid).
-        _, block_ok = _block_index(plan, k, mcu, slot)
-        comp = k["slot_comp"][slot]
-        dc_null = (~die) & is_dc & (~block_ok) & plan.interleaved
-
-        rs = value
-        is_eob = (~is_dc) & (rs == 0)
-        zrl = jnp.where(is_dc, 0, rs >> 4)
-        new_coeff = jnp.where(is_dc, 1, coeff + zrl)
-        ac_corrupt = (~die) & (~is_dc) & (~is_eob) & (new_coeff > 63)
-        die = die | dc_null | ac_corrupt
-        live = (~die) & alive
-
-        write = live & block_ok & (is_dc | (~is_eob))
-        pos = jnp.where(is_dc, 0, k["zigzag"][jnp.clip(new_coeff, 0, 63)])
-
-        upd = lambda buf, v: jax.lax.dynamic_update_slice(  # noqa: E731
-            buf, v[None, :].astype(jnp.int32), (n, jnp.int32(0))
-        )
-        em_mcu = upd(em_mcu, mcu)
-        em_slot = upd(em_slot, jnp.where(write, slot, -1))
-        em_pos = upd(em_pos, pos)
-        em_val = upd(em_val, coef_val)
-
-        cur_diff = jnp.where(live & is_dc, coef_val, cur_diff)
-        after_coeff = jnp.where(is_dc, 1, new_coeff + 1)
-        block_done = live & (is_eob | (after_coeff >= 64))
-
-        pred_here = dc_pred[lane_iota, comp]
-        addw = block_done & block_ok
-        ad_mcu = upd(ad_mcu, mcu)
-        ad_slot = upd(ad_slot, jnp.where(addw, slot, -1))
-        ad_val = upd(ad_val, pred_here)
-        dc_pred = dc_pred.at[lane_iota, comp].set(
-            jnp.where(block_done, pred_here + cur_diff, pred_here)
-        )
-
-        next_slot = jnp.where(block_done, slot + 1, slot)
-        wrap = next_slot >= bpm
-        mcu = jnp.where(live, mcu + (block_done & wrap), mcu)
-        slot = jnp.where(live, jnp.where(wrap, 0, next_slot), slot)
-        coeff = jnp.where(live, jnp.where(block_done, 0, after_coeff), coeff)
-        bitpos = jnp.where(live, bitpos + need, nbits)
-        alive = live
-
-        bufs = (em_mcu, em_slot, em_pos, em_val, ad_mcu, ad_slot, ad_val)
-        return (n + 1, bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff, bufs)
-
-    def cond(state):
-        return (state[0] < max_steps) & state[2].any()
-
-    i32z = lambda shape: jnp.zeros(shape, dtype=jnp.int32)  # noqa: E731
-    bufs0 = (
-        i32z((max_steps, S)),
-        jnp.full((max_steps, S), -1, dtype=jnp.int32),
-        i32z((max_steps, S)),
-        i32z((max_steps, S)),
-        i32z((max_steps, S)),
-        jnp.full((max_steps, S), -1, dtype=jnp.int32),
-        i32z((max_steps, S)),
-    )
     init = (
-        jnp.int32(0),
-        i32z(S),
+        jnp.zeros(S, jnp.int32),
         nbits > 0,
-        i32z(S),
-        i32z(S),
-        i32z(S),
-        i32z((S, plan.n_comps)),
-        i32z(S),
-        bufs0,
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros(S, jnp.int32),
+        jnp.zeros((S, plan.n_comps), jnp.int32),
+        jnp.zeros(S, jnp.int32),
     )
-    final = jax.lax.while_loop(cond, step, init)
-    mcu_counts = final[3]
-    em_mcu, em_slot, em_pos, em_val, ad_mcu, ad_slot, ad_val = final[8]
 
-    # ---- global placement (prefix-sum + one big scatter) -------------
-    seg_offset = jnp.cumsum(mcu_counts) - mcu_counts  # [S]
-    lane = jnp.broadcast_to(lane_iota[None, :], em_mcu.shape)
+    def step(carry, _):
+        return _symbol_step(plan, k, words, nbits, iota_w, iota256, carry)
 
-    def place(mcus, slots):
-        gmcu = mcus + seg_offset[lane]
-        valid = slots >= 0
-        s = jnp.clip(slots, 0, None)
-        blk, in_range = _block_index(plan, k, gmcu, s)
+    carry, (em_key, em_val, ad_key, ad_val) = jax.lax.scan(
+        step, init, None, length=max_steps, unroll=UNROLL
+    )
+    mcu_counts = carry[2]
+    # True when some lane still had symbols left: the caller's optimistic
+    # step bound was too small and must retry with a larger one.
+    starved = carry[1].any()
+
+    # ---- placement ----------------------------------------------------
+    # Per-frame exclusive prefix sum of segment MCU counts.
+    per_frame = mcu_counts.reshape(frames, spf)
+    seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
+
+    lane = jnp.broadcast_to(jnp.arange(S)[None, :], em_key.shape)
+    frame_of_lane = lane // spf
+
+    def place(keys):
+        valid = keys > 0
+        kk = keys - 1
+        local_mcu = kk // (plan.blocks_per_mcu * 64)
+        rem = kk % (plan.blocks_per_mcu * 64)
+        slot = rem // 64
+        pos = rem % 64
+        gmcu = local_mcu + seg_offset[lane]
+        blk, in_range = _block_index(plan, k, gmcu, slot)
+        blk = blk + frame_of_lane * total_blocks
         good = valid & in_range
-        # mode='drop' discards out-of-range scatter indices.
-        return jnp.where(good, blk, total_blocks).reshape(-1)
+        return jnp.where(good, blk, frames * total_blocks).reshape(-1), pos.reshape(-1)
 
-    coeffs = jnp.zeros((total_blocks, 64), dtype=jnp.int32)
-    coeffs = coeffs.at[
-        place(em_mcu, em_slot), em_pos.reshape(-1)
-    ].set(em_val.reshape(-1), mode="drop")
-    dc_col = coeffs[:, 0].at[place(ad_mcu, ad_slot)].add(
-        ad_val.reshape(-1), mode="drop"
-    )
+    coeffs = jnp.zeros((frames * total_blocks, 64), dtype=jnp.int32)
+    ab, apos = place(em_key)
+    coeffs = coeffs.at[ab, apos].set(em_val.reshape(-1), mode="drop")
+    db, _ = place(ad_key)
+    dc_col = coeffs[:, 0].at[db].add(ad_val.reshape(-1), mode="drop")
     coeffs = coeffs.at[:, 0].set(dc_col)
-    return mcu_counts, coeffs
+    return mcu_counts, coeffs, starved
+
+
+def pack_words(bytes_cat: np.ndarray, lens: np.ndarray):
+    """Vectorized pack: concatenated segment bytes -> ([S, Wn] u32, nbits).
+
+    Column count is the max segment length rounded to a multiple of 64
+    bytes (+8 slack for the word lookahead) -- tight enough to keep the
+    tunnel upload small, coarse enough to reuse jit traces.
+    """
+    S = lens.size
+    maxlen = int(lens.max()) if S else 0
+    pad = ((maxlen + 8 + 63) // 64) * 64
+    mat = np.zeros((S, pad), dtype=np.uint8)
+    if bytes_cat.size:
+        starts = np.cumsum(lens) - lens
+        rows = np.repeat(np.arange(S), lens)
+        cols = np.arange(bytes_cat.size) - np.repeat(starts, lens)
+        mat[rows, cols] = bytes_cat
+    words = mat.reshape(S, -1, 4).astype(np.uint32)
+    words = (
+        (words[:, :, 0] << 24)
+        | (words[:, :, 1] << 16)
+        | (words[:, :, 2] << 8)
+        | words[:, :, 3]
+    )
+    return words, (lens * 8).astype(np.int64)
+
+
+def _segments_to_words(segments: Sequence[np.ndarray]):
+    """Pack a list of unstuffed segment byte arrays."""
+    lens = np.array([s.size for s in segments], dtype=np.int64)
+    bytes_cat = (
+        np.concatenate([np.asarray(s, np.uint8) for s in segments])
+        if lens.sum()
+        else np.zeros(0, np.uint8)
+    )
+    return pack_words(bytes_cat, lens)
+
+
+def _max_steps_for(
+    nbits: np.ndarray, plan: ScanPlan, ri: int, optimistic: bool = True
+) -> int:
+    max_nbits = int(nbits.max()) if nbits.size else 0
+    bound = max_nbits + 1
+    if ri:
+        # <= 65 symbols per block, ri*bpm blocks per segment (+ slack for
+        # trailing-padding garbage the reference also decodes).
+        bound = min(bound, 65 * (ri * plan.blocks_per_mcu + 2))
+    if optimistic:
+        # Real streams average well over 2.5 bits per symbol; the decoder
+        # reports starvation and the caller retries with the hard bound.
+        bound = min(bound, max_nbits * 2 // 5 + 8)
+        steps = max(64, bound)
+        return ((steps + 127) // 128) * 128  # 128-step buckets
+    steps = max(64, bound)
+    return 1 << (steps - 1).bit_length()
 
 
 def decode_scan_lockstep_jax(
@@ -249,29 +367,28 @@ def decode_scan_lockstep_jax(
     tables: Dict[Tuple[int, int], HuffTable],
     segments: Sequence[np.ndarray],
     planes: Dict[int, np.ndarray],
+    ri: int = 0,
 ) -> int:
-    """Host wrapper: pad segments, run the device decode, split planes."""
-    plan = _cached_plan(geom, info, tuple(sorted((k, t.spec) for k, t in tables.items())))
-    bytes_mat, nbits = _pad_segments(segments)
-    total_blocks = sum(geom.by_id(cid).n_blocks for cid in info.component_ids)
-
-    max_nbits = int(nbits.max()) if nbits.size else 0
-    # Every symbol consumes >= 1 bit, so bits bound the step count.
-    # Round step count and buffer shapes up to powers of two so jit
-    # traces are reused across nearby sizes.
-    max_steps = max(max_nbits + 1, 64)
-    max_steps = 1 << (max_steps - 1).bit_length()
-    pad_cols = 1 << (int(bytes_mat.shape[1]) - 1).bit_length()
-    if pad_cols > bytes_mat.shape[1]:
-        bytes_mat = np.pad(bytes_mat, ((0, 0), (0, pad_cols - bytes_mat.shape[1])))
-
-    counts, coeffs = decode_scan_device(
-        plan,
-        jnp.asarray(bytes_mat),
-        jnp.asarray(nbits, dtype=jnp.int32),
-        max_steps,
-        total_blocks,
+    """Host wrapper: pack segments, run the device decode, split planes."""
+    plan = _cached_plan(
+        geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
     )
+    words, nbits = _segments_to_words(segments)
+    total_blocks = sum(geom.by_id(cid).n_blocks for cid in info.component_ids)
+    max_steps = _max_steps_for(nbits, plan, ri)
+    hard_cap = _max_steps_for(nbits, plan, ri, optimistic=False)
+
+    while True:
+        counts, coeffs, starved = decode_scan_device(
+            plan,
+            jnp.asarray(words),
+            jnp.asarray(nbits, dtype=jnp.int32),
+            max_steps,
+            total_blocks,
+        )
+        if not bool(starved) or max_steps >= hard_cap:
+            break
+        max_steps = min(max_steps * 4, hard_cap)
     coeffs = np.asarray(coeffs)
     off = 0
     for cid in info.component_ids:

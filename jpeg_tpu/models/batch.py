@@ -15,7 +15,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ..ops.color import rgb_to_ycc, to_rgb
-from ..ops.dct import fdct8x8_exact, fdct8x8_matmul, idct8x8_exact, idct8x8_matmul
+from ..ops.dct import fdct8x8_exact, fdct8x8_kron, idct8x8_exact, idct8x8_kron
 from ..ops.quant import dequantize, quantize
 from ..ops.resample import downsample_box, upsample_nn
 
@@ -28,13 +28,19 @@ def decode_blocks_batch(
     precision: int,
     exact: bool = False,
 ):
-    """dequant -> IDCT -> +shift -> [B, b_y*8, b_x*8] planes."""
+    """dequant -> IDCT -> +shift -> [B, b_y*8, b_x*8] planes.
+
+    Fast path: dequant fuses into the flattened Kronecker-DCT matmul
+    ([B*n, 64] @ [64, 64] on the MXU).
+    """
     flt = dequantize(coeffs, qtable)
     b = flt.shape[0]
-    blocks = flt.reshape(b, b_y, b_x, 8, 8)
-    idct = idct8x8_exact(blocks) if exact else idct8x8_matmul(blocks)
-    shifted = idct + jnp.float32(1 << (precision - 1))
-    return shifted.transpose(0, 1, 3, 2, 4).reshape(b, b_y * 8, b_x * 8)
+    shift = jnp.float32(1 << (precision - 1))
+    if exact:
+        blocks = idct8x8_exact(flt.reshape(b, b_y, b_x, 8, 8)) + shift
+    else:
+        blocks = (idct8x8_kron(flt) + shift).reshape(b, b_y, b_x, 8, 8)
+    return blocks.transpose(0, 1, 3, 2, 4).reshape(b, b_y * 8, b_x * 8)
 
 
 def encode_plane_batch(
@@ -48,8 +54,11 @@ def encode_plane_batch(
     b_y, b_x = h // 8, w // 8
     blocks = plane.reshape(b, b_y, 8, b_x, 8).transpose(0, 1, 3, 2, 4)
     blocks = blocks - jnp.float32(1 << (precision - 1))
-    fdct = fdct8x8_exact(blocks) if exact else fdct8x8_matmul(blocks)
-    return quantize(fdct.reshape(b, b_y * b_x, 64), qtable)
+    if exact:
+        fdct = fdct8x8_exact(blocks).reshape(b, b_y * b_x, 64)
+    else:
+        fdct = fdct8x8_kron(blocks.reshape(b, b_y * b_x, 64))
+    return quantize(fdct, qtable)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,181 @@
+"""Full on-device JPEG decode: compressed bytes in, pixel frames out.
+
+The deployment shape for TPU ingestion: upload only the entropy-coded
+words (~0.2 MB for a 1080p q75 frame instead of ~12 MB of coefficients or
+~25 MB of pixels), then run BOTH stages on the device --
+
+  lockstep entropy decode  (entropy.lockstep_jax.decode_scan_device)
+  -> [F * total_blocks, 64] coefficients in HBM
+  dense decode             (dequant -> IDCT -> upsample -> color -> u8)
+  -> uint8 frames [F, H, W, C] that stay in HBM for downstream models.
+
+One jitted executable per (geometry, tables, batch shape).  Frames of a
+Motion-JPEG stream share geometry and (implicit MJPEG) tables, so a whole
+batch decodes in a single call with lanes = frames x restart segments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy.lockstep import ScanPlan
+from ..entropy.lockstep_jax import (
+    _cached_plan,
+    _max_steps_for,
+    pack_words,
+    decode_scan_device,
+)
+from ..errors import UnsupportedError
+from ..format.parse import Codestream, parse_codestream, unstuff, unstuff_ranges
+from ..geometry import FrameGeometry
+from ..models.batch import decode_blocks_batch
+from ..ops.color import to_rgb
+from ..ops.resample import upsample_nn
+from ..utils.floatops import roundf
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame"),
+)
+def _decode_device(
+    plan: ScanPlan,
+    geom: FrameGeometry,
+    words: jnp.ndarray,  # [F*spf, Wn] uint32
+    nbits: jnp.ndarray,  # [F*spf] int32
+    qtables: jnp.ndarray,  # [4, 64] int32
+    max_steps: int,
+    frames: int,
+    segs_per_frame: int,
+):
+    total_blocks = sum(c.n_blocks for c in geom.components)
+    _, coeffs, starved = decode_scan_device(
+        plan,
+        words,
+        nbits,
+        max_steps,
+        total_blocks,
+        frames=frames,
+        segs_per_frame=segs_per_frame,
+    )
+    coeffs = coeffs.reshape(frames, total_blocks, 64)
+
+    size_y, size_x = geom.size_y, geom.size_x
+    chans = []
+    off = 0
+    for comp in geom.components:
+        n = comp.n_blocks
+        plane = decode_blocks_batch(
+            coeffs[:, off : off + n],
+            qtables[comp.tq],
+            comp.b_y,
+            comp.b_x,
+            geom.precision,
+            exact=False,
+        )
+        off += n
+        chans.append(
+            upsample_nn(plane, size_y // (comp.b_y * 8), size_x // (comp.b_x * 8))
+        )
+    frame = jnp.stack(chans, axis=-1)
+    rgb = to_rgb(frame, geom.precision, exact=False)
+    maxval = (1 << geom.precision) - 1
+    px = jnp.clip(roundf(rgb), 0, maxval)
+    px = px.astype(jnp.uint8 if geom.precision <= 8 else jnp.uint16)
+    return px[:, : geom.height, : geom.width, :], starved
+
+
+@dataclass
+class DeviceDecoder:
+    """Compiled whole-batch decoder for streams sharing one geometry.
+
+    Build once from a representative frame, then ``decode_batch`` lists of
+    JPEG byte strings (e.g. the frames of a Motion-JPEG stream).  Returns
+    the device-resident pixel batch; call ``np.asarray`` on it only if the
+    pixels are needed on the host.
+    """
+
+    plan: ScanPlan
+    geom: FrameGeometry
+    ri: int
+    segs_per_frame: int
+    max_steps: int
+    htable_key: tuple
+
+    @staticmethod
+    def for_stream(sample_jpeg: bytes) -> "DeviceDecoder":
+        cs = parse_codestream(sample_jpeg)
+        if cs.geometry is None or len(cs.scans) != 1:
+            raise UnsupportedError("device decoder needs a single-scan frame")
+        scan = cs.scans[0]
+        htable_key = tuple(sorted(scan.htables.items()))
+        plan = _cached_plan(cs.geometry, scan.info, htable_key)
+        segments = [unstuff(sample_jpeg[s:e]) for s, e in scan.ecs_ranges]
+        nbits = np.array([s.size * 8 for s in segments], dtype=np.int64)
+        return DeviceDecoder(
+            plan=plan,
+            geom=cs.geometry,
+            ri=scan.ri,
+            segs_per_frame=len(segments),
+            max_steps=_max_steps_for(nbits, plan, scan.ri),
+            htable_key=htable_key,
+        )
+
+    def prepare(self, jpegs: Sequence[bytes]):
+        """Host prep: parse + batch-unstuff + vectorized word packing."""
+        parts: List[np.ndarray] = []
+        lens_parts: List[np.ndarray] = []
+        qts = None
+        for data in jpegs:
+            cs = parse_codestream(data)
+            scan = cs.scans[0]
+            if tuple(sorted(scan.htables.items())) != self.htable_key:
+                raise UnsupportedError(
+                    "frame's Huffman tables differ from the stream's -- the "
+                    "batch decoder compiles tables in; re-encode with shared "
+                    "(e.g. default MJPEG) tables or decode per-frame"
+                )
+            seg_bytes, seg_offsets = unstuff_ranges(data, scan.ecs_ranges)
+            lens = np.diff(seg_offsets)
+            if lens.size != self.segs_per_frame:
+                # pad with empty lanes (contribute zero MCUs)
+                pad = np.zeros(self.segs_per_frame - lens.size, dtype=lens.dtype)
+                lens = np.concatenate([lens[: self.segs_per_frame], pad])
+            parts.append(seg_bytes)
+            lens_parts.append(lens)
+            if qts is None:
+                qts = cs.qtables.astype(np.int32)
+        words, nbits = pack_words(
+            np.concatenate(parts) if parts else np.zeros(0, np.uint8),
+            np.concatenate(lens_parts),
+        )
+        return words, nbits.astype(np.int32), qts
+
+    def decode_batch(self, jpegs: Sequence[bytes]):
+        """-> device-resident pixel batch [F, H, W, C] (uint8/uint16)."""
+        words, nbits, qts = self.prepare(jpegs)
+        # Optimistic step bound from the ACTUAL batch (pow2-bucketed);
+        # a starved decode retries with a larger bound up to the hard cap.
+        nb64 = nbits.astype(np.int64)
+        max_steps = max(self.max_steps, _max_steps_for(nb64, self.plan, self.ri))
+        hard_cap = _max_steps_for(nb64, self.plan, self.ri, optimistic=False)
+        while True:
+            out, starved = _decode_device(
+                self.plan,
+                self.geom,
+                jnp.asarray(words),
+                jnp.asarray(nbits),
+                jnp.asarray(qts),
+                max_steps,
+                len(jpegs),
+                self.segs_per_frame,
+            )
+            if not bool(starved) or max_steps >= hard_cap:
+                return out
+            max_steps = min(max_steps * 4, hard_cap)

@@ -88,6 +88,35 @@ def fdct8x8_exact(blocks):
     return jnp.swapaxes(cols, -1, -2)
 
 
+@lru_cache(maxsize=None)
+def _kron_mats():
+    """[64, 64] flattened-DCT operators: vec(out) = vec(in) @ M.
+
+    The separable 2-D DCT A X A^T (resp. A^T X A) is one matmul on
+    raster-flattened blocks with the Kronecker matrix -- the MXU-native
+    form: [n_blocks, 64] @ [64, 64] tiles the 128x128 systolic array far
+    better than batched 8x8 einsums.
+    """
+    a = dct_lut_f32().astype(np.float64)
+    m_idct = np.kron(a.T, a.T).astype(np.float32)  # in (u,v) -> out (y,x)
+    m_fdct = np.kron(a, a).astype(np.float32)  # in (y,x) -> out (u,v)
+    return m_idct, m_fdct
+
+
+def idct8x8_kron(flat, dtype=jnp.float32, precision="highest"):
+    """IDCT on raster-flattened [..., 64] blocks via one MXU matmul."""
+    m = jnp.asarray(_kron_mats()[0], dtype=dtype)
+    x = jnp.asarray(flat, dtype=dtype)
+    return jnp.matmul(x, m, precision=precision, preferred_element_type=dtype)
+
+
+def fdct8x8_kron(flat, dtype=jnp.float32, precision="highest"):
+    """FDCT on raster-flattened [..., 64] blocks via one MXU matmul."""
+    m = jnp.asarray(_kron_mats()[1], dtype=dtype)
+    x = jnp.asarray(flat, dtype=dtype)
+    return jnp.matmul(x, m, precision=precision, preferred_element_type=dtype)
+
+
 def idct8x8_matmul(blocks, dtype=jnp.float32, precision="highest"):
     """MXU form: IDCT2(X) = A @ X @ A^T.
 

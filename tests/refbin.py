@@ -47,6 +47,15 @@ def ref_decode(jpeg_bytes: bytes) -> bytes:
         return out.read_bytes()
 
 
+class ReferenceEncodeFailed(Exception):
+    """The reference encoder reported Failure / aborted / truncated output.
+
+    Note its main() returns 0 even on internal failure (encoder.c:714-723
+    prints "Failure." then returns 0), so success is detected by a
+    complete EOI-terminated output, not the exit code.
+    """
+
+
 def ref_encode(
     pnm_bytes: bytes, h: int = 2, v: int = 1, q: int = 75, optimize: int = 1
 ) -> bytes:
@@ -65,8 +74,18 @@ def ref_encode(
             ],
             capture_output=True,
         )
-        assert res.returncode == 0, res.stdout.decode() + res.stderr.decode()
-        return out.read_bytes()
+        data = out.read_bytes() if out.exists() else b""
+        failed = (
+            res.returncode != 0
+            or b"Failure" in res.stderr
+            or not data.endswith(b"\xff\xd9")
+        )
+        if failed:
+            raise ReferenceEncodeFailed(
+                f"rc={res.returncode} stderr={res.stderr[-200:]!r} "
+                f"len={len(data)}"
+            )
+        return data
 
 
 def make_ppm(width: int, height: int, seed: int = 0, maxval: int = 255) -> bytes:

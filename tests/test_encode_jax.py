@@ -1,0 +1,107 @@
+"""Device-side entropy encode vs the NumPy reference path: the packed
+segments must be byte-identical."""
+
+import numpy as np
+import pytest
+
+import jpeg_tpu
+from jpeg_tpu.constants import DEFAULT_HTABLES
+from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+from jpeg_tpu.entropy.encode import build_visit_order, pack_scan, symbolize_scan
+from jpeg_tpu.entropy.encode_jax import encode_scan_device, finalize_segment
+from jpeg_tpu.geometry import ScanInfo
+from jpeg_tpu.tables import HuffSpec, derive_table
+from refbin import ensure_reference_binaries, make_ppm
+
+pytestmark = pytest.mark.skipif(
+    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
+)
+
+
+def _device_pack(planes, geom, info, tables, ri):
+    """Run the device encoder; return stuffed segment byte strings."""
+    comp_idx, block_seq = build_visit_order(geom, info)
+    from jpeg_tpu.constants import ZIGZAG
+
+    stacked = [np.asarray(planes[cid], np.int64) for cid in info.component_ids]
+    zz = np.empty((comp_idx.size, 64), np.int64)
+    for j in range(len(info.component_ids)):
+        sel = comp_idx == j
+        zz[sel] = stacked[j][block_seq[sel]][:, ZIGZAG]
+
+    bpm = comp_idx.size // geom.n_mcus if info.ns > 1 else (
+        geom.by_id(info.component_ids[0]).h * geom.by_id(info.component_ids[0]).v
+    )
+    mcu_of = np.arange(comp_idx.size) // bpm
+    seg_of = mcu_of // ri if ri else np.zeros_like(mcu_of)
+
+    # differential DC per component with per-segment reset
+    dc = zz[:, 0].copy()
+    for j in range(len(info.component_ids)):
+        sel = np.nonzero(comp_idx == j)[0]
+        seq = dc[sel]
+        prev = np.concatenate(([0], seq[:-1]))
+        iv = seg_of[sel]
+        first = np.concatenate(([True], iv[1:] != iv[:-1]))
+        zz[sel, 0] = np.where(first, seq, seq - prev)
+
+    keys = []
+    for td in info.td:
+        if (0, td) not in keys:
+            keys.append((0, td))
+    for ta in info.ta:
+        if (1, ta) not in keys:
+            keys.append((1, ta))
+    tmap = {k: i for i, k in enumerate(keys)}
+    ehufco = np.stack([tables[k].ehufco for k in keys])
+    ehufsi = np.stack([tables[k].ehufsi for k in keys])
+    td = np.asarray([tmap[(0, info.td[j])] for j in range(info.ns)])
+    ta = np.asarray([tmap[(1, info.ta[j])] for j in range(info.ns)])
+
+    n_segments = int(seg_of.max()) + 1
+    words_per_seg = (comp_idx.size * 68 * 32 // 32) // n_segments + 64
+
+    words, seg_bits, hist = encode_scan_device(
+        zz.astype(np.int32),
+        td[comp_idx].astype(np.int32),
+        ta[comp_idx].astype(np.int32),
+        ehufco.astype(np.int32),
+        ehufsi.astype(np.int32),
+        seg_of.astype(np.int32),
+        n_segments,
+        int(words_per_seg),
+    )
+    words = np.asarray(words)
+    seg_bits = np.asarray(seg_bits)
+    return [
+        finalize_segment(words[s], int(seg_bits[s])) for s in range(n_segments)
+    ]
+
+
+@pytest.mark.parametrize("ri", [0, 2, 5])
+def test_device_pack_matches_numpy(ri):
+    from jpeg_tpu.format.parse import parse_codestream
+
+    jpg = encode_jpeg(
+        make_ppm(48, 32, seed=90),
+        EncodeParams(h=2, v=2, quality=80, optimize=False, restart_interval=ri),
+    )
+    cs = parse_codestream(jpg)
+    geom = cs.geometry
+    _, planes = jpeg_tpu.decode_coefficients(jpg)
+
+    info = ScanInfo(
+        component_ids=tuple(c.cid for c in geom.components),
+        td=tuple(c.td for c in geom.components),
+        ta=tuple(c.ta for c in geom.components),
+    )
+    tables = {
+        k: derive_table(HuffSpec.from_pair(v)) for k, v in DEFAULT_HTABLES.items()
+    }
+
+    symbols = symbolize_scan(planes, geom, info, ri)
+    expected = pack_scan(symbols, tables, ri)
+    got = _device_pack(planes, geom, info, tables, ri)
+    assert len(got) == len(expected)
+    for i, (a, b) in enumerate(zip(got, expected)):
+        assert a == b, f"segment {i}: {len(a)} vs {len(b)} bytes"

@@ -1,0 +1,68 @@
+"""Motion-JPEG stream handling: splitting, implicit tables, fault isolation."""
+
+import numpy as np
+import pytest
+
+import jpeg_tpu
+from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+from jpeg_tpu.mjpeg import decode_stream, split_stream
+from refbin import ensure_reference_binaries, make_ppm, ref_decode
+
+pytestmark = pytest.mark.skipif(
+    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
+)
+
+PARAMS = EncodeParams(h=2, v=1, quality=75, optimize=False)
+
+
+def _frames(n, w=48, h=32):
+    return [encode_jpeg(make_ppm(w, h, seed=100 + i), PARAMS) for i in range(n)]
+
+
+def test_split_stream_roundtrip():
+    frames = _frames(4)
+    stream = b"".join(frames)
+    parts = split_stream(stream)
+    assert parts == frames
+
+
+def test_decode_stream_all_ok():
+    frames = _frames(3)
+    res = decode_stream(b"".join(frames), exact=True)
+    assert res.ok_count == 3 and not res.errors
+    for img, jpg in zip(res.frames, frames):
+        assert img.to_pnm() == ref_decode(jpg)
+
+
+def test_decode_stream_fault_isolation():
+    frames = _frames(3)
+    # Break frame 1's SOF so it fails hard (unsupported/parse error),
+    # others must still decode.
+    bad = bytearray(frames[1])
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # progressive -> UnsupportedError
+    res = decode_stream(frames[0] + bytes(bad) + frames[2], exact=True)
+    assert res.ok_count == 2
+    assert len(res.errors) == 1 and res.errors[0][0] == 1
+    assert "progressive" in res.errors[0][1]
+
+
+def test_headerless_mjpeg_frame_decodes_with_implicit_tables():
+    """Strip the DHT segments: the implicit Annex-K tables must kick in
+    (the reference's whole MJPEG story, common.c:90-99)."""
+    jpg = _frames(1)[0]
+    out = bytearray()
+    i = 0
+    data = jpg
+    # remove every DHT segment (FF C4 len payload)
+    while i < len(data):
+        if data[i] == 0xFF and i + 1 < len(data) and data[i + 1] == 0xC4:
+            seg_len = (data[i + 2] << 8) | data[i + 3]
+            i += 2 + seg_len
+        else:
+            out.append(data[i])
+            i += 1
+    headerless = bytes(out)
+    assert b"\xff\xc4" not in headerless[:200]
+    ours = jpeg_tpu.decode_jpeg(headerless, exact=True).to_pnm()
+    assert ours == ref_decode(headerless) == ref_decode(jpg)
