@@ -23,6 +23,7 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from .api import DecodedImage, decode_coefficients, decode_jpeg  # noqa: E402
+from .encoder import EncodeParams, encode_jpeg  # noqa: E402
 from .errors import (  # noqa: E402
     CorruptStream,
     FileIOError,
@@ -37,6 +38,8 @@ __all__ = [
     "DecodedImage",
     "decode_coefficients",
     "decode_jpeg",
+    "EncodeParams",
+    "encode_jpeg",
     "JpegError",
     "UnsupportedError",
     "FileIOError",

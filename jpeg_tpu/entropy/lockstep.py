@@ -69,6 +69,10 @@ class ScanPlan:
     huffval: np.ndarray  # [T, 256]
     n_comps: int
     max_codes: int = 256  # longest table's code count (one-hot width hint)
+    # Valid-MCU count: block_ok(mcu, slot) == (mcu < n_mcus) exactly,
+    # because every component's block grid is MCU-divisible
+    # (b_x = m_x*H, b_y = m_y*V; Ns=1 grids divide by H*V too).
+    n_mcus: int = 1 << 30
 
 
 def build_scan_plan(
@@ -153,6 +157,11 @@ def build_scan_plan(
         huffval=huffval,
         n_comps=len(comps),
         max_codes=max_codes,
+        n_mcus=(
+            geom.n_mcus
+            if interleaved
+            else (comps[0].n_blocks + bpm - 1) // bpm
+        ),
     )
 
 

@@ -89,6 +89,11 @@ def _block_index(plan: ScanPlan, k, gmcu, slot):
     return _slot_lookup(k["slot_plane_offset"], slot) + seq, ok
 
 
+def _iota_row(n: int) -> jnp.ndarray:
+    """[1, n] int32 iota (TPU/Pallas-safe: no 1-D iota)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
 def _onehot_pick(table_2d: jnp.ndarray, idx: jnp.ndarray, iota: jnp.ndarray):
     """rowwise[lane] = table_2d[lane, idx[lane]] as one-hot masked sum."""
     sel = iota == idx[:, None]
@@ -131,24 +136,27 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     maxc = jnp.broadcast_to(k["maxcode"][0][1:], (S, 16))
     for t in range(1, T):
         maxc = jnp.where((tab == t)[:, None], k["maxcode"][t][1:], maxc)
-    ls = jnp.arange(1, 17, dtype=jnp.int32)
-    prefixes = code16[:, None] >> (16 - ls)[None, :]
+    ls = _iota_row(16) + 1  # [1, 16] lengths 1..16
+    prefixes = code16[:, None] >> (16 - ls)
     ok_mat = prefixes <= maxc
     any_ok = ok_mat.any(axis=1)
-    length = jnp.where(any_ok, jnp.argmax(ok_mat, axis=1).astype(jnp.int32) + 1, 16)
+    # first-true as a one-hot (cumsum==1 & ok): argmax-free, Pallas-safe.
+    first_ok = ok_mat & (jnp.cumsum(ok_mat.astype(jnp.int32), axis=1) == 1)
+    length = jnp.where(
+        any_ok, (first_ok * ls).sum(axis=1, dtype=jnp.int32), 16
+    )
     pref_l = code16 >> (16 - length)
 
     # valptr/mincode[tab, length]: stack per-t rows then one-hot over the
     # 16 lengths (avoids 17-deep select chains).
-    len_iota = jnp.arange(1, 17, dtype=jnp.int32)[None, :]
     vp_rows = jnp.broadcast_to(k["valptr"][0][1:], (S, 16))
     mc_rows = jnp.broadcast_to(k["mincode"][0][1:], (S, 16))
     for t in range(1, T):
         sel = (tab == t)[:, None]
         vp_rows = jnp.where(sel, k["valptr"][t][1:], vp_rows)
         mc_rows = jnp.where(sel, k["mincode"][t][1:], mc_rows)
-    base = _onehot_pick(vp_rows, length - 1, jnp.arange(16)[None, :])
-    minc = _onehot_pick(mc_rows, length - 1, jnp.arange(16)[None, :])
+    base = _onehot_pick(vp_rows, length - 1, _iota_row(16))
+    minc = _onehot_pick(mc_rows, length - 1, _iota_row(16))
     vidx = jnp.clip(base + pref_l - minc, 0, iota256.shape[1] - 1)
 
     # value = huffval[tab, vidx] via one-hot matmul on the MXU: bf16 holds
@@ -177,8 +185,10 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     neg = extra - (jnp.int32(1) << cat) + 1
     coef_val = jnp.where(cat == 0, 0, jnp.where(sign != 0, extra, neg))
 
-    # Best-effort NULL-block parity (lane-local MCU; corrupt streams only).
-    _, block_ok = _block_index(plan, k, mcu, slot)
+    # Best-effort NULL-block parity (lane-local MCU; corrupt streams
+    # only).  One compare replaces the div/mod block-index math: grids
+    # are MCU-divisible, so block_ok == (mcu < n_mcus) exactly.
+    block_ok = mcu < plan.n_mcus
     comp = _slot_lookup(k["slot_comp"], slot)
     dc_null = (~die) & is_dc & (~block_ok) & plan.interleaved
 
@@ -193,9 +203,7 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     write = live & block_ok & (is_dc | (~is_eob))
     nc = jnp.clip(new_coeff, 0, 63)
     zz = _onehot_pick(
-        jnp.broadcast_to(k["zigzag"][None, :], (S, 64)),
-        nc,
-        jnp.arange(64)[None, :],
+        jnp.broadcast_to(k["zigzag"][None, :], (S, 64)), nc, _iota_row(64)
     )
     pos = jnp.where(is_dc, 0, zz)
 
@@ -209,7 +217,7 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
 
     # dc_pred[lane, comp]: C is tiny -> one-hot select/update.
     C = int(dc_pred.shape[1])
-    comp_oh = comp[:, None] == jnp.arange(C)[None, :]
+    comp_oh = comp[:, None] == _iota_row(C)
     pred_here = jnp.where(comp_oh, dc_pred, 0).sum(axis=1, dtype=jnp.int32)
     addw = block_done & block_ok
     ad_key = jnp.where(addw, (mcu * plan.blocks_per_mcu + slot) * 64 + 1, 0)
@@ -274,9 +282,19 @@ def decode_scan_device(
     # True when some lane still had symbols left: the caller's optimistic
     # step bound was too small and must retry with a larger one.
     starved = carry[1].any()
+    coeffs = _place_emissions(
+        plan, k, mcu_counts, em_key, em_val, ad_key, ad_val,
+        frames, spf, total_blocks,
+    )
+    return mcu_counts, coeffs, starved
 
-    # ---- placement ----------------------------------------------------
-    # Per-frame exclusive prefix sum of segment MCU counts.
+
+def _place_emissions(
+    plan, k, mcu_counts, em_key, em_val, ad_key, ad_val,
+    frames, spf, total_blocks,
+):
+    """Global placement: prefix-sum of per-lane MCU counts + one scatter."""
+    S = mcu_counts.shape[0]
     per_frame = mcu_counts.reshape(frames, spf)
     seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
 
@@ -302,7 +320,7 @@ def decode_scan_device(
     db, _ = place(ad_key)
     dc_col = coeffs[:, 0].at[db].add(ad_val.reshape(-1), mode="drop")
     coeffs = coeffs.at[:, 0].set(dc_col)
-    return mcu_counts, coeffs, starved
+    return coeffs
 
 
 def pack_words(bytes_cat: np.ndarray, lens: np.ndarray):
