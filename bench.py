@@ -34,7 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
 WIDTH, HEIGHT = 1920, 1080
 FRAMES = 16
 RESTART_INTERVAL = 4  # MCUs per segment -> 2040 lanes/frame at 1080p 4:2:0
-REPEATS = 3
+REPEATS = 5
 
 
 def make_frame_ppm(seed: int) -> bytes:

@@ -46,6 +46,7 @@ class EncodeParams:
     optimize: bool = True
     restart_interval: int = 0  # extension: MCUs per restart interval
     exact: bool = True  # bit-exact float path vs fast MXU path
+    entropy_backend: str = "numpy"  # "numpy" (host) or "jax" (on-device)
 
 
 def geometry_for_image(img: PnmImage, params: EncodeParams) -> FrameGeometry:
@@ -97,7 +98,14 @@ def encode_jpeg_from_planes(
             specs[key] = optimize_table(counts)
 
     tables = {k: derive_table(s) for k, s in specs.items()}
-    segments = pack_scan(symbols, tables, params.restart_interval)
+    if params.entropy_backend == "jax":
+        from .entropy.encode_jax import pack_scan_device
+
+        segments = pack_scan_device(
+            planes, geom, info, tables, params.restart_interval
+        )
+    else:
+        segments = pack_scan(symbols, tables, params.restart_interval)
 
     out = bytearray()
     out += emit.emit_soi()

@@ -260,6 +260,86 @@ def encode_scan_device(
     return words, seg_bits, hist
 
 
+def pack_scan_device(planes, geom, info, tables, ri: int = 0):
+    """High-level device entropy encode: planes -> stuffed ECS segments.
+
+    Mirrors entropy.encode.pack_scan (byte-identical output) but runs the
+    symbolization + bit packing on the accelerator.  Host work is limited
+    to the visit-order constants, the final byte trim/stuff, and marker
+    assembly.
+    """
+    from ..constants import ZIGZAG
+    from .encode import build_visit_order
+
+    comp_idx, block_seq = build_visit_order(geom, info)
+    stacked = [np.asarray(planes[cid], np.int64) for cid in info.component_ids]
+    zz = np.empty((comp_idx.size, 64), np.int64)
+    for j in range(len(info.component_ids)):
+        sel = comp_idx == j
+        zz[sel] = stacked[j][block_seq[sel]][:, ZIGZAG]
+
+    if info.ns == 1:
+        c0 = geom.by_id(info.component_ids[0])
+        bpm = c0.h * c0.v
+    else:
+        bpm = comp_idx.size // geom.n_mcus
+    mcu_of = np.arange(comp_idx.size) // bpm
+    seg_of = mcu_of // ri if ri else np.zeros_like(mcu_of)
+
+    # Differential DC per component with per-segment predictor reset.
+    dc = zz[:, 0].copy()
+    for j in range(len(info.component_ids)):
+        sel = np.nonzero(comp_idx == j)[0]
+        seq = dc[sel]
+        prev = np.concatenate(([0], seq[:-1]))
+        iv = seg_of[sel]
+        first = np.concatenate(([True], iv[1:] != iv[:-1]))
+        zz[sel, 0] = np.where(first, seq, seq - prev)
+
+    keys = []
+    for td in info.td:
+        if (0, td) not in keys:
+            keys.append((0, td))
+    for ta in info.ta:
+        if (1, ta) not in keys:
+            keys.append((1, ta))
+    tmap = {k: i for i, k in enumerate(keys)}
+    ehufco = np.stack([tables[k].ehufco for k in keys]).astype(np.int32)
+    ehufsi = np.stack([tables[k].ehufsi for k in keys]).astype(np.int32)
+    td = np.asarray([tmap[(0, info.td[j])] for j in range(info.ns)])
+    ta = np.asarray([tmap[(1, info.ta[j])] for j in range(info.ns)])
+
+    n_segments = int(seg_of.max()) + 1
+    # Capacity: <= 31 bits per symbol slot, 68 slots per block.
+    max_blocks_per_seg = int(np.bincount(seg_of).max())
+    words_per_seg = (max_blocks_per_seg * 68 * 31) // 32 + 2
+
+    words, seg_bits, _hist = encode_scan_device(
+        zz.astype(np.int32),
+        td[comp_idx].astype(np.int32),
+        ta[comp_idx].astype(np.int32),
+        ehufco,
+        ehufsi,
+        seg_of.astype(np.int32),
+        n_segments,
+        int(words_per_seg),
+    )
+    words = np.asarray(words)
+    seg_bits = np.asarray(seg_bits)
+    hist = np.asarray(_hist)
+    missing = (hist > 0) & (ehufsi == 0)
+    if missing.any():
+        # Same hard failure as the host packer / reference value_to_vlc.
+        from ..errors import UnsupportedError
+
+        bad = int(np.nonzero(missing.any(axis=0))[0][0])
+        raise UnsupportedError(
+            f"symbol 0x{bad:02x} has no code in the selected Huffman table "
+            "(content exceeds table range; use optimized tables)"
+        )
+    return [finalize_segment(words[s], int(seg_bits[s])) for s in range(n_segments)]
+
+
 def finalize_segment(words: np.ndarray, total_bits: int) -> bytes:
     """Host-side: trim, 1-pad the tail byte (flush_bits) and byte-stuff."""
     nbytes = (int(total_bits) + 7) // 8

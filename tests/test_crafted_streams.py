@@ -167,3 +167,33 @@ def test_non_interleaved_chroma_subsampled_luma_grouping():
 
     golden = ref_decode(jpg)
     assert jpeg_tpu.decode_jpeg(jpg).to_pnm() == golden
+
+
+def test_h4_subsampling_411():
+    """4:1:1 (H=4) decode: the reference accepts any H,V in SOF; so do we."""
+    geom = with_block_grid(
+        FrameGeometry(
+            precision=8,
+            height=16,
+            width=64,
+            components=(
+                Component(cid=1, h=4, v=1, tq=0, td=0, ta=0),
+                Component(cid=2, h=1, v=1, tq=1, td=1, ta=1),
+                Component(cid=3, h=1, v=1, tq=1, td=1, ta=1),
+            ),
+        )
+    )
+    qtables = np.ones((4, 64), dtype=np.uint16) * 2
+    planes = _rand_planes(geom, seed=53, dc_range=100, ac_range=10)
+    info = ScanInfo(component_ids=(1, 2, 3), td=(0, 1, 1), ta=(0, 1, 1))
+    syms = symbolize_scan(planes, geom, info)
+    jpg = bytes(
+        _emit_header(geom, qtables)
+        + emit.emit_sos(info)
+        + emit.emit_scan_body(pack_scan(syms, _tables()))
+        + emit.emit_eoi()
+    )
+    golden = ref_decode(jpg)
+    assert jpeg_tpu.decode_jpeg(jpg, entropy="serial").to_pnm() == golden
+    assert jpeg_tpu.decode_jpeg(jpg, entropy="lockstep").to_pnm() == golden
+    assert jpeg_tpu.decode_jpeg(jpg, entropy="lockstep-jax").to_pnm() == golden

@@ -8,7 +8,7 @@ import jpeg_tpu
 from jpeg_tpu.constants import DEFAULT_HTABLES
 from jpeg_tpu.encoder import EncodeParams, encode_jpeg
 from jpeg_tpu.entropy.encode import build_visit_order, pack_scan, symbolize_scan
-from jpeg_tpu.entropy.encode_jax import encode_scan_device, finalize_segment
+from jpeg_tpu.entropy.encode_jax import encode_scan_device, finalize_segment, pack_scan_device
 from jpeg_tpu.geometry import ScanInfo
 from jpeg_tpu.tables import HuffSpec, derive_table
 from refbin import ensure_reference_binaries, make_ppm
@@ -101,7 +101,36 @@ def test_device_pack_matches_numpy(ri):
 
     symbols = symbolize_scan(planes, geom, info, ri)
     expected = pack_scan(symbols, tables, ri)
-    got = _device_pack(planes, geom, info, tables, ri)
+    got = pack_scan_device(planes, geom, info, tables, ri)
     assert len(got) == len(expected)
     for i, (a, b) in enumerate(zip(got, expected)):
         assert a == b, f"segment {i}: {len(a)} vs {len(b)} bytes"
+
+
+@pytest.mark.parametrize("ri", [0, 3])
+def test_encoder_jax_backend_byte_identical(ri):
+    """encode_jpeg(entropy_backend='jax') == the numpy backend byte-for-byte."""
+    pnm = make_ppm(48, 32, seed=91)
+    a = encode_jpeg(pnm, EncodeParams(h=2, v=1, quality=80, restart_interval=ri))
+    b = encode_jpeg(
+        pnm,
+        EncodeParams(h=2, v=1, quality=80, restart_interval=ri, entropy_backend="jax"),
+    )
+    assert a == b
+
+
+def test_encoder_jax_backend_missing_code():
+    """12-bit content whose DC categories exceed the default tables:
+    both backends must raise the same clean error."""
+    # checkerboard of 8x8 tiles at full 12-bit swing -> huge DC diffs
+    tile = np.indices((48, 48)).sum(axis=0) // 8 % 2
+    img = (tile * 4095).astype(">u2")
+    pnm = b"P5\n48 48\n4095\n" + np.repeat(img, 1, axis=0).tobytes()
+    for backend in ("numpy", "jax"):
+        with pytest.raises(jpeg_tpu.UnsupportedError):
+            encode_jpeg(
+                pnm,
+                EncodeParams(
+                    h=1, v=1, quality=100, optimize=False, entropy_backend=backend
+                ),
+            )

@@ -1,0 +1,88 @@
+"""Multi-host (multi-process) MJPEG decode demo / scaling harness.
+
+Runs N local processes, each acting as one "host": jax.distributed
+initialization, per-host frame sharding, per-host decode, and global
+batch assembly -- the exact wiring a real multi-host pod uses (one
+controller per host), exercised on CPU so the mechanics are testable
+without a pod.
+
+Usage:  python tools/multihost_demo.py [n_processes] [frames_per_host]
+Prints per-host throughput and the aggregate; exit 0 iff every host
+decoded its shard correctly.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def worker(pid: int, n: int, frames_per_host: int, port: int) -> int:
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path[:0] = [str(REPO), str(REPO / "tests")]
+
+    from jpeg_tpu.parallel.distributed import initialize, shard_frames
+
+    initialize(f"localhost:{port}", n, pid)
+    assert jax.process_count() == n, jax.process_count()
+
+    import numpy as np
+
+    import jpeg_tpu
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from refbin import make_ppm
+
+    params = EncodeParams(
+        h=2, v=2, quality=80, optimize=False, restart_interval=2, exact=False
+    )
+    total = frames_per_host * n
+    frames = [encode_jpeg(make_ppm(160, 120, seed=s), params) for s in range(total)]
+    mine = shard_frames(frames, pid, n)
+
+    t0 = time.perf_counter()
+    decoded = [jpeg_tpu.decode_jpeg(f, exact=False) for f in mine]
+    dt = time.perf_counter() - t0
+    mpix = len(mine) * 160 * 120 / dt / 1e6
+
+    ok = all(d.pixels().shape == (120, 160, 3) for d in decoded)
+    print(
+        f"[host {pid}/{n}] decoded {len(mine)} frames in {dt:.2f}s "
+        f"({mpix:.1f} Mpix/s) ok={ok}",
+        flush=True,
+    )
+    return 0 if ok else 1
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    fph = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    port = 12323
+
+    if os.environ.get("_MH_WORKER"):
+        return worker(int(os.environ["_MH_WORKER_PID"]), n, fph, port)
+
+    procs = []
+    for pid in range(n):
+        env = {
+            **os.environ,
+            "_MH_WORKER": "1",
+            "_MH_WORKER_PID": str(pid),
+        }
+        procs.append(
+            subprocess.Popen([sys.executable, __file__, str(n), str(fph)], env=env)
+        )
+    rc = max(p.wait() for p in procs)
+    print("multihost demo:", "OK" if rc == 0 else "FAILED")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
