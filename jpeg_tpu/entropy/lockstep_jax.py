@@ -207,8 +207,9 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     )
     pos = jnp.where(is_dc, 0, zz)
 
-    # Emission keys: mcu*BPMx64 + slot*64 + pos, +1 so 0 = invalid.
-    em_key = jnp.where(write, (mcu * plan.blocks_per_mcu + slot) * 64 + pos + 1, 0)
+    # Emission keys: mcu<<10 | slot<<6 | pos, +1 so 0 = invalid (slot < 16,
+    # pos < 64 -- pow2 fields so placement unpacks with shifts, not divs).
+    em_key = jnp.where(write, ((mcu << 4) | slot) * 64 + pos + 1, 0)
     em_val = coef_val
 
     cur_diff = jnp.where(live & is_dc, coef_val, cur_diff)
@@ -220,7 +221,7 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     comp_oh = comp[:, None] == _iota_row(C)
     pred_here = jnp.where(comp_oh, dc_pred, 0).sum(axis=1, dtype=jnp.int32)
     addw = block_done & block_ok
-    ad_key = jnp.where(addw, (mcu * plan.blocks_per_mcu + slot) * 64 + 1, 0)
+    ad_key = jnp.where(addw, ((mcu << 4) | slot) * 64 + 1, 0)
     ad_val = pred_here
     dc_pred = jnp.where(
         comp_oh & block_done[:, None], (pred_here + cur_diff)[:, None], dc_pred
@@ -236,6 +237,160 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
 
     carry = (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff)
     return carry, (em_key, em_val, ad_key, ad_val)
+
+
+def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry):
+    """Scalarized symbol step: every intermediate is an [S]-shaped vector.
+
+    The broadcast engine (``_symbol_step``) builds [S,16]/[S,64] one-hot
+    matrices; on TPU the minor dimension pads to 128 lanes, so each such
+    intermediate is a full [S,128] HBM round trip and the scan runs ~50x
+    off the VPU roofline.  Here the small constant axes (16 code lengths,
+    T tables, 64 zigzag entries, Wn words) become unrolled Python loops of
+    elementwise [S] ops with the plan tables folded in as HLO constants,
+    which XLA fuses into single passes over [S].  The 32-bit window is
+    carried across steps (w0, w1) and refilled with ONE word-select loop
+    per step instead of two.  Only the huffval lookup keeps a 2-D one-hot
+    (an MXU matmul).
+
+    Emissions are a SINGLE (key, val) stream (TPU scatter cost is
+    proportional to total update slots, valid or not): AC coefficients
+    emit on their decode step, and the block's final DC (predictor +
+    diff) emits as a one-step-delayed "pending" emission.  The step after
+    a block completes is always the next block's DC decode or lane death,
+    neither of which emits, so the pending value always finds a free slot
+    and decode never stalls.
+    """
+    (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff,
+     w0, w1, pend_key, pend_val) = carry
+    T = plan.maxcode.shape[0]
+    bpm = plan.blocks_per_mcu
+
+    def sl(table):  # per-slot constant lookup (slot < bpm, tiny)
+        out = jnp.full_like(slot, int(table[0]))
+        for s in range(1, bpm):
+            out = jnp.where(slot == s, int(table[s]), out)
+        return out
+
+    def tabc(col):  # per-table constant lookup on `tab`
+        out = jnp.full_like(tab, int(col[0]))
+        for t in range(1, T):
+            out = jnp.where(tab == t, int(col[t]), out)
+        return out
+
+    # ---- 32-bit window from the carried word pair ----------------------
+    r = (bitpos & 31).astype(jnp.uint32)
+    win = jnp.where(
+        r == 0, w0, (w0 << r) | (w1 >> (jnp.uint32(32) - jnp.maximum(r, 1)))
+    )
+    code16 = (win >> jnp.uint32(16)).astype(jnp.int32)
+
+    # ---- canonical decode: fused descending loop over code lengths -----
+    is_dc = coeff == 0
+    tab = jnp.where(is_dc, sl(plan.slot_dc_tab), sl(plan.slot_ac_tab))
+    length = jnp.full_like(code16, 16)
+    base = jnp.zeros_like(code16)
+    minc = jnp.zeros_like(code16)
+    any_ok = jnp.zeros_like(alive)
+    for l in range(16, 0, -1):
+        ok = (code16 >> (16 - l)) <= tabc(plan.maxcode[:, l])
+        length = jnp.where(ok, l, length)
+        base = jnp.where(ok, tabc(plan.valptr[:, l]), base)
+        minc = jnp.where(ok, tabc(plan.mincode[:, l]), minc)
+        any_ok = any_ok | ok
+    pref_l = code16 >> (16 - length)
+    vidx = jnp.clip(base + pref_l - minc, 0, iota_hv.shape[1] - 1)
+
+    # value = huffval[tab, vidx] via one-hot matmul on the MXU: bf16 holds
+    # integers <= 256 exactly.
+    oh = (iota_hv == vidx[:, None]).astype(jnp.bfloat16)  # [S, Vpad]
+    picked = jnp.dot(oh, hv_cols, preferred_element_type=jnp.float32)  # [S, T]
+    value = picked[:, 0].astype(jnp.int32)
+    for t in range(1, T):
+        value = jnp.where(tab == t, picked[:, t].astype(jnp.int32), value)
+
+    # cat clamped to 16 so the 32-bit window shifts stay in range; the
+    # corrupt test uses the raw value (DC categories > 16 kill the lane,
+    # same as the NumPy engine).
+    cat = jnp.where(is_dc, jnp.minimum(value, 16), value & 15)
+    corrupt = (~any_ok) | (is_dc & (value > 16))
+    need = length + cat
+    overrun = bitpos + need > nbits
+    die = (~alive) | corrupt | overrun
+
+    # Window bits [length, length+cat) are the extra bits.
+    extra = (
+        win >> (jnp.uint32(32) - jnp.minimum(need, 32).astype(jnp.uint32))
+    ).astype(jnp.int32) & ((jnp.int32(1) << cat) - 1)
+    sign = extra >> jnp.maximum(cat - 1, 0)
+    neg = extra - (jnp.int32(1) << cat) + 1
+    coef_val = jnp.where(cat == 0, 0, jnp.where(sign != 0, extra, neg))
+
+    # Best-effort NULL-block parity (lane-local MCU; corrupt streams only).
+    block_ok = mcu < plan.n_mcus
+    comp = sl(plan.slot_comp)
+    dc_null = (~die) & is_dc & (~block_ok) & plan.interleaved
+
+    rs = value
+    is_eob = (~is_dc) & (rs == 0)
+    zrl = jnp.where(is_dc, 0, rs >> 4)
+    new_coeff = jnp.where(is_dc, 1, coeff + zrl)
+    ac_corrupt = (~die) & (~is_dc) & (~is_eob) & (new_coeff > 63)
+    die = die | dc_null | ac_corrupt
+    live = (~die) & alive
+
+    # AC writes only; the DC value goes out via the pending emission.
+    write = live & block_ok & (~is_dc) & (~is_eob)
+    nc = jnp.clip(new_coeff, 0, 63)
+    zz = jnp.zeros_like(nc)
+    for j in range(1, 64):
+        zz = jnp.where(nc == j, int(ZIGZAG[j]), zz)
+
+    em_key = jnp.where(write, ((mcu << 4) | slot) * 64 + zz + 1, 0)
+    em_val = coef_val
+    # Flush last step's pending DC-final (its slot is free by construction).
+    em_key = jnp.where(pend_key > 0, pend_key, em_key)
+    em_val = jnp.where(pend_key > 0, pend_val, em_val)
+
+    cur_diff = jnp.where(live & is_dc, coef_val, cur_diff)
+    after_coeff = jnp.where(is_dc, 1, new_coeff + 1)
+    block_done = live & (is_eob | (after_coeff >= 64))
+
+    # dc_pred: one [S] vector per component (C is tiny and static).
+    pred_here = dc_pred[0]
+    for c in range(1, plan.n_comps):
+        pred_here = jnp.where(comp == c, dc_pred[c], pred_here)
+    addw = block_done & block_ok
+    pend_key = jnp.where(addw, ((mcu << 4) | slot) * 64 + 1, 0)
+    pend_val = pred_here + cur_diff
+    dc_pred = tuple(
+        jnp.where(block_done & (comp == c), pred_here + cur_diff, dc_pred[c])
+        for c in range(plan.n_comps)
+    )
+
+    next_slot = jnp.where(block_done, slot + 1, slot)
+    wrap = next_slot >= bpm
+    mcu = jnp.where(live, mcu + (block_done & wrap), mcu)
+    slot = jnp.where(live, jnp.where(wrap, 0, next_slot), slot)
+    coeff = jnp.where(live, jnp.where(block_done, 0, after_coeff), coeff)
+    bitpos = jnp.where(live, bitpos + need, nbits)
+    alive = live
+
+    # ---- window refill: at most one 32-bit boundary per symbol ---------
+    # (need <= 32, so widx advances by 0 or 1 for live lanes; dead lanes'
+    # windows are never read again.)
+    widx_new = bitpos >> 5
+    crossed = widx_new != ((bitpos - need) >> 5)  # pre-advance widx
+    tgt = widx_new + 1
+    fetched = jnp.zeros_like(w1)
+    for j in range(words_t.shape[0]):
+        fetched = jnp.where(tgt == j, words_t[j], fetched)
+    w0 = jnp.where(crossed, w1, w0)
+    w1 = jnp.where(crossed, fetched, w1)
+
+    carry = (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff,
+             w0, w1, pend_key, pend_val)
+    return carry, (em_key, em_val)
 
 
 @partial(
@@ -259,23 +414,32 @@ def decode_scan_device(
     k = _plan_consts(plan)
     S = words.shape[0]
     spf = segs_per_frame or S
-    iota_w = jnp.arange(words.shape[1], dtype=jnp.int32)[None, :]
-    iota256 = jnp.arange(k["huffval"].shape[1], dtype=jnp.int32)[None, :]
+    words_t = words.T  # [Wn, S]: refill loop reads contiguous rows
+    vpad = ((plan.max_codes + 63) // 64) * 64
+    hv_cols = jnp.asarray(plan.huffval[:, :vpad].astype(np.float32)).astype(
+        jnp.bfloat16
+    ).T  # [Vpad, T]
+    iota_hv = jnp.arange(vpad, dtype=jnp.int32)[None, :]
 
+    z = jnp.zeros(S, jnp.int32)
     init = (
-        jnp.zeros(S, jnp.int32),
+        z,
         nbits > 0,
-        jnp.zeros(S, jnp.int32),
-        jnp.zeros(S, jnp.int32),
-        jnp.zeros(S, jnp.int32),
-        jnp.zeros((S, plan.n_comps), jnp.int32),
-        jnp.zeros(S, jnp.int32),
+        z,
+        z,
+        z,
+        tuple(z for _ in range(plan.n_comps)),
+        z,
+        words_t[0],
+        words_t[1],
+        z,
+        z,
     )
 
     def step(carry, _):
-        return _symbol_step(plan, k, words, nbits, iota_w, iota256, carry)
+        return _symbol_step_scalar(plan, nbits, words_t, hv_cols, iota_hv, carry)
 
-    carry, (em_key, em_val, ad_key, ad_val) = jax.lax.scan(
+    carry, (em_key, em_val) = jax.lax.scan(
         step, init, None, length=max_steps, unroll=UNROLL
     )
     mcu_counts = carry[2]
@@ -283,44 +447,74 @@ def decode_scan_device(
     # step bound was too small and must retry with a larger one.
     starved = carry[1].any()
     coeffs = _place_emissions(
-        plan, k, mcu_counts, em_key, em_val, ad_key, ad_val,
-        frames, spf, total_blocks,
+        plan, k, mcu_counts, [(em_key, em_val)], frames, spf, total_blocks,
     )
     return mcu_counts, coeffs, starved
 
 
 def _place_emissions(
-    plan, k, mcu_counts, em_key, em_val, ad_key, ad_val,
-    frames, spf, total_blocks,
+    plan, k, mcu_counts, streams, frames, spf, total_blocks,
 ):
-    """Global placement: prefix-sum of per-lane MCU counts + one scatter."""
+    """Global placement: prefix-sum of per-lane MCU counts + flat scatters.
+
+    Keys pack (mcu, slot, pos) in pow2 fields so unpacking is shifts/masks.
+    Per-lane quantities broadcast along the step axis (never gathered), and
+    the per-slot block-index affinities collapse to three fused constants
+    c0 + my*c1 + mx*c2 so the [steps, S] index math is a handful of
+    elementwise ops plus one divmod by m_x.  Both emission streams are
+    write-once, so they scatter with a single flat ``add`` each into the
+    zero-initialized coefficient buffer (TPU scatter cost ~ #updates; a
+    1-D flat add is the cheapest form).
+    """
     S = mcu_counts.shape[0]
     per_frame = mcu_counts.reshape(frames, spf)
     seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
+    # [1, S] rows broadcast over steps; frame base folded into seg row base.
+    frame_base = (jnp.arange(S, dtype=jnp.int32) // spf) * total_blocks
 
-    lane = jnp.broadcast_to(jnp.arange(S)[None, :], em_key.shape)
-    frame_of_lane = lane // spf
+    bpm = plan.blocks_per_mcu
+    if plan.interleaved:
+        c0 = (plan.slot_plane_offset + plan.slot_v * plan.slot_bx + plan.slot_h).astype(np.int64)
+        c1 = (plan.slot_V * plan.slot_bx).astype(np.int64)
+        c2 = plan.slot_H.astype(np.int64)
+    else:
+        c0 = (plan.slot_plane_offset + plan.slot_h).astype(np.int64)
+        c1 = c2 = None
+    nb = plan.slot_nblocks.astype(np.int64)
+    po = plan.slot_plane_offset.astype(np.int64)
+
+    def slotc(col, slot):
+        out = jnp.full_like(slot, int(col[0]))
+        for s in range(1, bpm):
+            out = jnp.where(slot == s, int(col[s]), out)
+        return out
 
     def place(keys):
-        valid = keys > 0
-        kk = keys - 1
-        local_mcu = kk // (plan.blocks_per_mcu * 64)
-        rem = kk % (plan.blocks_per_mcu * 64)
-        slot = rem // 64
-        pos = rem % 64
-        gmcu = local_mcu + seg_offset[lane]
-        blk, in_range = _block_index(plan, k, gmcu, slot)
-        blk = blk + frame_of_lane * total_blocks
-        good = valid & in_range
-        return jnp.where(good, blk, frames * total_blocks).reshape(-1), pos.reshape(-1)
+        kk = keys - 1  # invalid -> -1
+        pos = kk & 63
+        slot = (kk >> 6) & 15
+        local_mcu = kk >> 10
+        gmcu = local_mcu + seg_offset[None, :]
+        if plan.interleaved:
+            my = gmcu // plan.m_x
+            mx = gmcu - my * plan.m_x
+            seq = my * slotc(c1, slot) + mx * slotc(c2, slot) + slotc(c0, slot)
+            blk = seq
+            seq = seq - slotc(po, slot)
+        else:
+            seq = gmcu * bpm + slotc(c0 - po, slot)
+            blk = seq + slotc(po, slot)
+        good = (keys > 0) & (seq < slotc(nb, slot))
+        flat = (frame_base[None, :] + blk) * 64 + pos
+        # Invalid -> one-past-the-end (positive OOB is dropped; negative
+        # indices would WRAP under numpy indexing semantics).
+        oob = frames * total_blocks * 64
+        return jnp.where(good, flat, oob).reshape(-1)
 
-    coeffs = jnp.zeros((frames * total_blocks, 64), dtype=jnp.int32)
-    ab, apos = place(em_key)
-    coeffs = coeffs.at[ab, apos].set(em_val.reshape(-1), mode="drop")
-    db, _ = place(ad_key)
-    dc_col = coeffs[:, 0].at[db].add(ad_val.reshape(-1), mode="drop")
-    coeffs = coeffs.at[:, 0].set(dc_col)
-    return coeffs
+    out = jnp.zeros(frames * total_blocks * 64, dtype=jnp.int32)
+    for keys, vals in streams:
+        out = out.at[place(keys)].add(vals.reshape(-1), mode="drop")
+    return out.reshape(frames * total_blocks, 64)
 
 
 def pack_words(bytes_cat: np.ndarray, lens: np.ndarray):
@@ -364,19 +558,28 @@ def _max_steps_for(
     nbits: np.ndarray, plan: ScanPlan, ri: int, optimistic: bool = True
 ) -> int:
     max_nbits = int(nbits.max()) if nbits.size else 0
-    bound = max_nbits + 1
-    if ri:
-        # <= 65 symbols per block, ri*bpm blocks per segment (+ slack for
-        # trailing-padding garbage the reference also decodes).
-        bound = min(bound, 65 * (ri * plan.blocks_per_mcu + 2))
+    blocks = (ri if ri else max(plan.n_mcus, 1)) * plan.blocks_per_mcu
+    # Hard bound: one symbol consumes >= 1 bit; <= 65 symbols per block
+    # (+ slack for trailing-padding garbage the reference also decodes);
+    # +2 for the death step and the delayed pending-DC flush.
+    bound = min(max_nbits + 2, 65 * (blocks + 2) + 2)
     if optimistic:
-        # Real streams average well over 2.5 bits per symbol; the decoder
-        # reports starvation and the caller retries with the hard bound.
-        bound = min(bound, max_nbits * 2 // 5 + 8)
-        steps = max(64, bound)
-        return ((steps + 127) // 128) * 128  # 128-step buckets
+        # Long segments are dense content with many extra bits per symbol,
+        # so bits/symbol GROWS with segment length -- real lanes average
+        # well over 3 bits/symbol, plus ~1 symbol (EOB) per block floor.
+        # Aggressive by design: a starved decode retries one 128-step
+        # bucket up (``_grow_steps``) and DeviceDecoder remembers the
+        # learned bound across batches of a stream.
+        est = blocks + max_nbits // 6 + 16
+        steps = max(128, min(bound, est))
+        return max(128, steps // 128 * 128)
     steps = max(64, bound)
     return 1 << (steps - 1).bit_length()
+
+
+def _grow_steps(max_steps: int, hard_cap: int) -> int:
+    """Next starvation-retry bound: +50%, 128-step buckets, capped."""
+    return min(hard_cap, (max_steps * 3 // 2 + 127) // 128 * 128)
 
 
 def decode_scan_lockstep_jax(
@@ -406,7 +609,7 @@ def decode_scan_lockstep_jax(
         )
         if not bool(starved) or max_steps >= hard_cap:
             break
-        max_steps = min(max_steps * 4, hard_cap)
+        max_steps = _grow_steps(max_steps, hard_cap)
     coeffs = np.asarray(coeffs)
     off = 0
     for cid in info.component_ids:

@@ -216,7 +216,8 @@ def decode_scan_device_pallas(
     starved = alive[:s].any()
     k = _plan_consts(plan)
     coeffs = _place_emissions(
-        plan, k, counts, em_key[:, :s], em_val[:, :s], ad_key[:, :s],
-        ad_val[:, :s], frames, spf, total_blocks,
+        plan, k, counts,
+        [(em_key[:, :s], em_val[:, :s]), (ad_key[:, :s], ad_val[:, :s])],
+        frames, spf, total_blocks,
     )
     return counts, coeffs, starved

@@ -27,6 +27,7 @@ import numpy as np
 from ..entropy.lockstep import ScanPlan
 from ..entropy.lockstep_jax import (
     _cached_plan,
+    _grow_steps,
     _max_steps_for,
     pack_words,
     decode_scan_device,
@@ -157,25 +158,54 @@ class DeviceDecoder:
         )
         return words, nbits.astype(np.int32), qts
 
-    def decode_batch(self, jpegs: Sequence[bytes]):
-        """-> device-resident pixel batch [F, H, W, C] (uint8/uint16)."""
-        words, nbits, qts = self.prepare(jpegs)
-        # Optimistic step bound from the ACTUAL batch (pow2-bucketed);
-        # a starved decode retries with a larger bound up to the hard cap.
+    def _decode_prepared(self, words, nbits, qts, frames: int):
+        """Dispatch one prepared chunk (async) -> (pixels, starved, steps)."""
         nb64 = nbits.astype(np.int64)
+        # Aggressive step bound from the ACTUAL chunk, raised to any bound
+        # this stream already taught us; starvation (checked lazily by the
+        # caller) retries one bucket up and the learned bound sticks.
         max_steps = max(self.max_steps, _max_steps_for(nb64, self.plan, self.ri))
-        hard_cap = _max_steps_for(nb64, self.plan, self.ri, optimistic=False)
-        while True:
-            out, starved = _decode_device(
-                self.plan,
-                self.geom,
-                jnp.asarray(words),
-                jnp.asarray(nbits),
-                jnp.asarray(qts),
-                max_steps,
-                len(jpegs),
-                self.segs_per_frame,
-            )
-            if not bool(starved) or max_steps >= hard_cap:
-                return out
-            max_steps = min(max_steps * 4, hard_cap)
+        out, starved = _decode_device(
+            self.plan,
+            self.geom,
+            jnp.asarray(words),
+            jnp.asarray(nbits),
+            jnp.asarray(qts),
+            max_steps,
+            frames,
+            self.segs_per_frame,
+        )
+        return out, starved, max_steps
+
+    def decode_batch(self, jpegs: Sequence[bytes], chunk: int = 8):
+        """-> device-resident pixel batch [F, H, W, C] (uint8/uint16).
+
+        The batch is processed in ``chunk``-frame chunks so host work
+        (marker parse, unstuffing, word packing) and the host->device
+        upload of chunk k+1 overlap the device decode of chunk k --
+        dispatch is asynchronous and nothing blocks until the end.
+        Starvation flags are only read after all chunks are in flight;
+        a starved chunk (rare: the step bound is learned per stream)
+        re-runs with the next larger bound.
+        """
+        n = len(jpegs)
+        if chunk <= 0 or n <= chunk:
+            chunks = [(0, n)]
+        else:
+            chunks = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+        flight = []
+        for lo, hi in chunks:
+            words, nbits, qts = self.prepare(jpegs[lo:hi])
+            out, starved, steps = self._decode_prepared(words, nbits, qts, hi - lo)
+            flight.append([out, starved, steps, (words, nbits, qts), hi - lo])
+        for rec in flight:  # lazy starvation sweep (syncs only here)
+            while bool(rec[1]):
+                nb64 = rec[3][1].astype(np.int64)
+                hard_cap = _max_steps_for(nb64, self.plan, self.ri, optimistic=False)
+                if rec[2] >= hard_cap:
+                    break
+                self.max_steps = _grow_steps(rec[2], hard_cap)
+                rec[0], rec[1], rec[2] = self._decode_prepared(*rec[3], rec[4])
+            self.max_steps = max(self.max_steps, rec[2])
+        outs = [rec[0] for rec in flight]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
