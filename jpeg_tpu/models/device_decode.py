@@ -108,6 +108,14 @@ class DeviceDecoder:
     segs_per_frame: int
     max_steps: int
     htable_key: tuple
+    # Fast-prep state: frames whose header bytes match the sample's skip
+    # the Python parser entirely (identical markers -> identical geometry,
+    # tables and scan start) and go through the native C++ single-pass
+    # unstuff+pack (native.prep_ecs_native).
+    header: bytes = b""
+    scan_start: int = 0
+    qtables: Optional[np.ndarray] = None
+    wn: int = 0  # sticky lane-row width in u32 words (grows on demand)
 
     @staticmethod
     def for_stream(sample_jpeg: bytes) -> "DeviceDecoder":
@@ -119,6 +127,8 @@ class DeviceDecoder:
         plan = _cached_plan(cs.geometry, scan.info, htable_key)
         segments = [unstuff(sample_jpeg[s:e]) for s, e in scan.ecs_ranges]
         nbits = np.array([s.size * 8 for s in segments], dtype=np.int64)
+        maxlen = int(max((s.size for s in segments), default=0))
+        scan_start = scan.ecs_ranges[0][0] if scan.ecs_ranges else 0
         return DeviceDecoder(
             plan=plan,
             geom=cs.geometry,
@@ -126,10 +136,48 @@ class DeviceDecoder:
             segs_per_frame=len(segments),
             max_steps=_max_steps_for(nbits, plan, scan.ri),
             htable_key=htable_key,
+            header=sample_jpeg[:scan_start],
+            scan_start=scan_start,
+            qtables=cs.qtables.astype(np.int32),
+            wn=((maxlen + 8 + 63) // 64) * 16,  # pack_words' padding, in words
         )
+
+    def _prepare_native(self, jpegs: Sequence[bytes]):
+        """C++ fast prep for header-identical frames; None -> slow path."""
+        from .. import native
+
+        if not self.header or not native.available():
+            return None
+        for data in jpegs:
+            if not data.startswith(self.header):
+                return None
+        spf = self.segs_per_frame
+        frames = len(jpegs)
+        while True:
+            words = np.zeros((frames * spf, self.wn), dtype=np.uint32)
+            lens = np.zeros(frames * spf, dtype=np.int32)
+            grew = False
+            for f, data in enumerate(jpegs):
+                rc = native.prep_ecs_native(
+                    data,
+                    self.scan_start,
+                    words[f * spf : (f + 1) * spf],
+                    lens[f * spf : (f + 1) * spf],
+                )
+                if rc == -2:  # a segment outgrew the row width
+                    self.wn *= 2
+                    grew = True
+                    break
+                if rc < 0 or rc > spf:
+                    return None  # malformed or odd framing: Python parser
+            if not grew:
+                return words, lens * 8, self.qtables
 
     def prepare(self, jpegs: Sequence[bytes]):
         """Host prep: parse + batch-unstuff + vectorized word packing."""
+        fast = self._prepare_native(jpegs)
+        if fast is not None:
+            return fast
         parts: List[np.ndarray] = []
         lens_parts: List[np.ndarray] = []
         qts = None

@@ -61,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.jt_find_ecs_end.argtypes = [i8p, ctypes.c_int64, ctypes.c_int64]
         lib.jt_unstuff.restype = ctypes.c_int64
         lib.jt_unstuff.argtypes = [i8p, ctypes.c_int64, i8p]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.jt_prep_ecs.restype = ctypes.c_int64
+        lib.jt_prep_ecs.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64,
+            u32p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -120,3 +126,33 @@ def decode_segments_native(
         ctypes.c_int32(n_threads),
     )
     return out, written, counts
+
+
+def prep_ecs_native(
+    data: bytes,
+    start: int,
+    out_rows: np.ndarray,  # [max_rows, wn] uint32, C-contiguous, zeroed
+    lens: np.ndarray,  # [max_rows] int32
+) -> int:
+    """Unstuff+pack one frame's restart segments into BE-u32 lane rows.
+
+    Returns the segment count, or <0 (see jt_prep_ecs) when the caller
+    must fall back to the Python parser / retry with a wider matrix.
+    """
+    lib = _load()
+    assert lib is not None
+    assert out_rows.dtype == np.uint32 and out_rows.flags.c_contiguous
+    buf = np.frombuffer(data, dtype=np.uint8)
+    end_off = ctypes.c_int64(0)
+    return int(
+        lib.jt_prep_ecs(
+            _ptr(buf, ctypes.c_uint8),
+            ctypes.c_int64(buf.size),
+            ctypes.c_int64(start),
+            out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(out_rows.shape[1]),
+            ctypes.c_int64(out_rows.shape[0]),
+            _ptr(lens, ctypes.c_int32),
+            ctypes.byref(end_off),
+        )
+    )

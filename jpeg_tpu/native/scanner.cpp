@@ -219,4 +219,70 @@ int64_t jt_unstuff(const uint8_t* src, int64_t n, uint8_t* dst) {
   return o;
 }
 
+// Single-pass batch prep for the device decoder: from `start` (the first
+// ECS byte after SOS), unstuff every restart segment directly into
+// big-endian uint32 lane rows of `out` [max_rows, wn] (caller-zeroed)
+// and record per-segment unstuffed byte lengths.  Ends at EOI.
+//
+// Returns the number of segments, or a fallback code for the Python
+// parser: -1 malformed/unexpected marker (slow parse handles garbage,
+// decoder.c:196-214 semantics), -2 row overflow (retry with a wider
+// matrix), -3 more segments than rows.
+int64_t jt_prep_ecs(const uint8_t* data, int64_t n, int64_t start,
+                    uint32_t* out, int64_t wn, int64_t max_rows,
+                    int32_t* lens, int64_t* end_off) {
+  if (max_rows <= 0) return -3;
+  const int64_t row_bytes = wn * 4;
+  uint32_t* row = out;
+  uint32_t acc = 0;
+  int64_t k = 0;  // unstuffed bytes in current row
+  int64_t r = 0;
+  int64_t i = start;
+
+  auto close_row = [&]() {
+    if (k & 3) row[k >> 2] = acc << (8 * (4 - (k & 3)));
+    lens[r] = static_cast<int32_t>(k);
+    acc = 0;
+    k = 0;
+  };
+
+  while (i < n) {
+    uint8_t c = data[i];
+    if (c != 0xFF) {
+      if (k >= row_bytes) return -2;
+      acc = (acc << 8) | c;
+      if ((++k & 3) == 0) { row[(k >> 2) - 1] = acc; acc = 0; }
+      ++i;
+      continue;
+    }
+    if (i + 1 >= n) return -1;  // truncated at a lone 0xFF
+    uint8_t m = data[i + 1];
+    if (m == 0x00) {  // stuffed literal 0xFF
+      if (k >= row_bytes) return -2;
+      acc = (acc << 8) | 0xFFu;
+      if ((++k & 3) == 0) { row[(k >> 2) - 1] = acc; acc = 0; }
+      i += 2;
+      continue;
+    }
+    // Marker ends the segment; skip fill 0xFF bytes (io.c:186-220).
+    int64_t j = i + 1;
+    while (j < n && data[j] == 0xFF) ++j;
+    if (j >= n) return -1;
+    m = data[j];
+    close_row();
+    if (m >= 0xD0 && m <= 0xD7) {  // RSTn: next segment
+      if (++r >= max_rows) return -3;
+      row = out + r * wn;
+      i = j + 1;
+      continue;
+    }
+    if (m == 0xD9) {  // EOI
+      *end_off = j + 1;
+      return r + 1;
+    }
+    return -1;  // any other marker mid-scan -> slow parser
+  }
+  return -1;  // ran off the end without EOI
+}
+
 }  // extern "C"
