@@ -3,10 +3,11 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
 
-Primary metric: whole-batch decode to DEVICE-resident uint8 frames -- the
-TPU-ingestion deployment shape (compressed bytes go up the wire, entropy
-+ dense decode run on the chip, pixels stay in HBM for downstream
-models).  Host marker parse/unstuff is included in the timing.
+Primary metric: sustained stream decode to DEVICE-resident uint8 frames
+-- the TPU-ingestion deployment shape (compressed bytes go up the wire,
+entropy + dense decode run on the chip, pixels stay in HBM for
+downstream models).  A 64-frame stream is decoded in pipelined chunks;
+host prep (native scan/unstuff/pack) and uploads overlap device decode.
 
 Baseline: the reference C decoder (single core, its only mode) on the
 same frames, measured BEFORE the TPU runtime starts so its busy-wait
@@ -32,9 +33,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
 
 WIDTH, HEIGHT = 1920, 1080
-FRAMES = 16
+FRAMES = 64  # stream length; 16 unique frame contents repeated
+UNIQUE = 16
 RESTART_INTERVAL = 4  # MCUs per segment -> 2040 lanes/frame at 1080p 4:2:0
-REPEATS = 5
+REPEATS = 4
+CHUNK = 8  # frames per pipelined chunk inside decode_batch
 
 
 def make_frame_ppm(seed: int) -> bytes:
@@ -98,10 +101,13 @@ def main() -> None:
         h=2, v=2, quality=75, optimize=False,  # shared (MJPEG) tables
         restart_interval=RESTART_INTERVAL, exact=False,
     )
-    jpegs = [encode_jpeg(make_frame_ppm(s), params) for s in range(FRAMES)]
-    log(f"encoded {FRAMES} frames, {sum(map(len, jpegs))/1e6:.1f} MB total")
+    unique = [encode_jpeg(make_frame_ppm(s), params) for s in range(UNIQUE)]
+    jpegs = [unique[s % UNIQUE] for s in range(FRAMES)]
+    log(f"encoded {UNIQUE} unique frames -> {FRAMES}-frame stream, "
+        f"{sum(map(len, jpegs))/1e6:.1f} MB total")
 
-    baseline = time_reference(jpegs)
+    # Reference throughput is per-frame; timing the unique frames suffices.
+    baseline = time_reference(unique)
     log(f"reference baseline: {baseline:.1f} Mpix/s (single core, best of {REPEATS})")
 
     # ---- device batch decode ------------------------------------------
@@ -110,18 +116,18 @@ def main() -> None:
 
     dec = DeviceDecoder.for_stream(jpegs[0])
     t0 = time.perf_counter()
-    out = dec.decode_batch(jpegs)
+    out = dec.decode_batch(jpegs, chunk=CHUNK)
     out.block_until_ready()
     log(f"warmup (compile): {time.perf_counter()-t0:.1f}s; out {out.shape} {out.dtype}")
 
     best = 0.0
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = dec.decode_batch(jpegs)
+        out = dec.decode_batch(jpegs, chunk=CHUNK)
         out.block_until_ready()
         dt = time.perf_counter() - t0
         best = max(best, FRAMES * WIDTH * HEIGHT / dt / 1e6)
-        log(f"device batch: {FRAMES} frames in {dt:.2f}s -> "
+        log(f"stream decode: {FRAMES} frames in {dt:.2f}s -> "
             f"{FRAMES/dt:.1f} fps, {FRAMES*WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s")
 
     # ---- secondary: decode to host (tunnel-bound in this environment) -
@@ -137,7 +143,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "mjpeg_1080p_420_decode_to_device_Mpix_per_s_per_chip",
+                "metric": "mjpeg_1080p_420_stream_decode_to_device_Mpix_per_s_per_chip",
                 "value": round(best, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(best / baseline, 2) if baseline else None,

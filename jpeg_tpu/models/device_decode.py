@@ -41,11 +41,7 @@ from ..ops.resample import upsample_nn
 from ..utils.floatops import roundf
 
 
-@partial(
-    jax.jit,
-    static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame"),
-)
-def _decode_device(
+def _decode_impl(
     plan: ScanPlan,
     geom: FrameGeometry,
     words: jnp.ndarray,  # [F*spf, Wn] uint32
@@ -90,6 +86,34 @@ def _decode_device(
     px = jnp.clip(roundf(rgb), 0, maxval)
     px = px.astype(jnp.uint8 if geom.precision <= 8 else jnp.uint16)
     return px[:, : geom.height, : geom.width, :], starved
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame"),
+)
+def _decode_device(plan, geom, words, nbits, qtables, max_steps, frames,
+                   segs_per_frame):
+    return _decode_impl(plan, geom, words, nbits, qtables, max_steps, frames,
+                        segs_per_frame)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame",
+                     "wn"),
+)
+def _decode_device_flat(plan, geom, buf, starts, nbits, qtables, max_steps,
+                        frames, segs_per_frame, wn):
+    """Flat-upload variant: ship the tight word packing (~compressed size)
+    and rebuild the [S, Wn] lane matrix on-device with one gather --
+    lookahead columns past a row's end read the next row's words, which
+    the decoder never consumes (the nbits overrun check kills the lane
+    first)."""
+    idx = starts[:, None] + jnp.arange(wn, dtype=jnp.int32)[None, :]
+    words = jnp.take(buf, idx, mode="clip")
+    return _decode_impl(plan, geom, words, nbits, qtables, max_steps, frames,
+                        segs_per_frame)
 
 
 @dataclass
@@ -143,7 +167,12 @@ class DeviceDecoder:
         )
 
     def _prepare_native(self, jpegs: Sequence[bytes]):
-        """C++ fast prep for header-identical frames; None -> slow path."""
+        """C++ fast prep for header-identical frames; None -> slow path.
+
+        Segments tight-pack into one flat u32 buffer (the upload is then
+        ~the compressed stream size instead of the padded lane matrix);
+        the device rebuilds the matrix with a gather.
+        """
         from .. import native
 
         if not self.header or not native.available():
@@ -153,25 +182,27 @@ class DeviceDecoder:
                 return None
         spf = self.segs_per_frame
         frames = len(jpegs)
-        while True:
-            words = np.zeros((frames * spf, self.wn), dtype=np.uint32)
-            lens = np.zeros(frames * spf, dtype=np.int32)
-            grew = False
-            for f, data in enumerate(jpegs):
-                rc = native.prep_ecs_native(
-                    data,
-                    self.scan_start,
-                    words[f * spf : (f + 1) * spf],
-                    lens[f * spf : (f + 1) * spf],
-                )
-                if rc == -2:  # a segment outgrew the row width
-                    self.wn *= 2
-                    grew = True
-                    break
-                if rc < 0 or rc > spf:
-                    return None  # malformed or odd framing: Python parser
-            if not grew:
-                return words, lens * 8, self.qtables
+        cap = sum(len(d) for d in jpegs) // 4 + frames * (spf + 16)
+        buf = np.zeros(cap, dtype=np.uint32)
+        starts = np.zeros(frames * spf, dtype=np.int32)
+        lens = np.zeros(frames * spf, dtype=np.int32)
+        base = 0
+        for f, data in enumerate(jpegs):
+            row = slice(f * spf, (f + 1) * spf)
+            rc, used = native.prep_ecs_flat_native(
+                data, self.scan_start, buf, base, starts[row], lens[row]
+            )
+            if rc < 0 or rc > spf:
+                return None  # malformed or odd framing: Python parser
+            starts[f * spf : f * spf + rc] += base
+            base += used
+        # Lane-matrix width must cover the longest row (+1 lookahead word).
+        need = (int(lens.max()) + 3) // 4 + 2
+        if need > self.wn:
+            self.wn = (need + 15) // 16 * 16
+        # Bucket the upload length (256 KiB steps) so jit traces reuse.
+        blen = min(cap, (base + 1 + 65535) // 65536 * 65536)
+        return ("flat", buf[:blen], starts, lens * 8, self.qtables)
 
     def prepare(self, jpegs: Sequence[bytes]):
         """Host prep: parse + batch-unstuff + vectorized word packing."""
@@ -204,28 +235,43 @@ class DeviceDecoder:
             np.concatenate(parts) if parts else np.zeros(0, np.uint8),
             np.concatenate(lens_parts),
         )
-        return words, nbits.astype(np.int32), qts
+        return ("mat", words, None, nbits.astype(np.int32), qts)
 
-    def _decode_prepared(self, words, nbits, qts, frames: int):
+    def _decode_prepared(self, prepared, frames: int):
         """Dispatch one prepared chunk (async) -> (pixels, starved, steps)."""
+        kind, data, starts, nbits, qts = prepared
         nb64 = nbits.astype(np.int64)
         # Aggressive step bound from the ACTUAL chunk, raised to any bound
         # this stream already taught us; starvation (checked lazily by the
         # caller) retries one bucket up and the learned bound sticks.
         max_steps = max(self.max_steps, _max_steps_for(nb64, self.plan, self.ri))
-        out, starved = _decode_device(
-            self.plan,
-            self.geom,
-            jnp.asarray(words),
-            jnp.asarray(nbits),
-            jnp.asarray(qts),
-            max_steps,
-            frames,
-            self.segs_per_frame,
-        )
+        if kind == "flat":
+            out, starved = _decode_device_flat(
+                self.plan,
+                self.geom,
+                jnp.asarray(data),
+                jnp.asarray(starts),
+                jnp.asarray(nbits),
+                jnp.asarray(qts),
+                max_steps,
+                frames,
+                self.segs_per_frame,
+                self.wn,
+            )
+        else:
+            out, starved = _decode_device(
+                self.plan,
+                self.geom,
+                jnp.asarray(data),
+                jnp.asarray(nbits),
+                jnp.asarray(qts),
+                max_steps,
+                frames,
+                self.segs_per_frame,
+            )
         return out, starved, max_steps
 
-    def decode_batch(self, jpegs: Sequence[bytes], chunk: int = 8):
+    def decode_batch(self, jpegs: Sequence[bytes], chunk: int = 4):
         """-> device-resident pixel batch [F, H, W, C] (uint8/uint16).
 
         The batch is processed in ``chunk``-frame chunks so host work
@@ -243,17 +289,17 @@ class DeviceDecoder:
             chunks = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
         flight = []
         for lo, hi in chunks:
-            words, nbits, qts = self.prepare(jpegs[lo:hi])
-            out, starved, steps = self._decode_prepared(words, nbits, qts, hi - lo)
-            flight.append([out, starved, steps, (words, nbits, qts), hi - lo])
+            prepared = self.prepare(jpegs[lo:hi])
+            out, starved, steps = self._decode_prepared(prepared, hi - lo)
+            flight.append([out, starved, steps, prepared, hi - lo])
         for rec in flight:  # lazy starvation sweep (syncs only here)
             while bool(rec[1]):
-                nb64 = rec[3][1].astype(np.int64)
+                nb64 = rec[3][3].astype(np.int64)
                 hard_cap = _max_steps_for(nb64, self.plan, self.ri, optimistic=False)
                 if rec[2] >= hard_cap:
                     break
                 self.max_steps = _grow_steps(rec[2], hard_cap)
-                rec[0], rec[1], rec[2] = self._decode_prepared(*rec[3], rec[4])
+                rec[0], rec[1], rec[2] = self._decode_prepared(rec[3], rec[4])
             self.max_steps = max(self.max_steps, rec[2])
         outs = [rec[0] for rec in flight]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

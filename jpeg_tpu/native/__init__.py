@@ -67,6 +67,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i8p, ctypes.c_int64, ctypes.c_int64,
             u32p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
         ]
+        lib.jt_prep_ecs_flat.restype = ctypes.c_int64
+        lib.jt_prep_ecs_flat.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64,
+            u32p, ctypes.c_int64, i32p, i32p, ctypes.c_int64, i64p, i64p,
+        ]
         _lib = lib
         return _lib
 
@@ -126,6 +131,41 @@ def decode_segments_native(
         ctypes.c_int32(n_threads),
     )
     return out, written, counts
+
+
+def prep_ecs_flat_native(
+    data: bytes,
+    start: int,
+    out_buf: np.ndarray,  # [cap] uint32, C-contiguous
+    buf_base: int,  # word offset where this frame's rows begin
+    starts: np.ndarray,  # [max_rows] int32 (filled relative to buf_base)
+    lens: np.ndarray,  # [max_rows] int32
+):
+    """Tight-pack one frame's segments at out_buf[buf_base:].
+
+    Returns (nsegs, words_used); nsegs < 0 is a jt_prep_ecs fallback code.
+    """
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    used = ctypes.c_int64(0)
+    end_off = ctypes.c_int64(0)
+    view = out_buf[buf_base:]
+    rc = int(
+        lib.jt_prep_ecs_flat(
+            _ptr(buf, ctypes.c_uint8),
+            ctypes.c_int64(buf.size),
+            ctypes.c_int64(start),
+            view.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(view.size),
+            _ptr(starts, ctypes.c_int32),
+            _ptr(lens, ctypes.c_int32),
+            ctypes.c_int64(starts.size),
+            ctypes.byref(used),
+            ctypes.byref(end_off),
+        )
+    )
+    return rc, int(used.value)
 
 
 def prep_ecs_native(

@@ -228,6 +228,70 @@ int64_t jt_unstuff(const uint8_t* src, int64_t n, uint8_t* dst) {
 // parser: -1 malformed/unexpected marker (slow parse handles garbage,
 // decoder.c:196-214 semantics), -2 row overflow (retry with a wider
 // matrix), -3 more segments than rows.
+// Flat variant: segments pack back-to-back at word-aligned offsets in a
+// single u32 buffer (the device rebuilds the [S, Wn] lane matrix with
+// one gather, so the host->device upload is the tight packing, not the
+// padded matrix).  starts[r] = word offset of segment r.  Fallback codes
+// as jt_prep_ecs, with -2 = buffer capacity exceeded.
+int64_t jt_prep_ecs_flat(const uint8_t* data, int64_t n, int64_t start,
+                         uint32_t* out, int64_t cap_words, int32_t* starts,
+                         int32_t* lens, int64_t max_rows, int64_t* used_words,
+                         int64_t* end_off) {
+  if (max_rows <= 0) return -3;
+  int64_t base = 0;  // word offset of current row
+  uint32_t acc = 0;
+  int64_t k = 0;
+  int64_t r = 0;
+  int64_t i = start;
+  starts[0] = 0;
+
+  auto close_row = [&]() {
+    if (k & 3) out[base + (k >> 2)] = acc << (8 * (4 - (k & 3)));
+    lens[r] = static_cast<int32_t>(k);
+    base += (k + 3) >> 2;
+    acc = 0;
+    k = 0;
+  };
+
+  while (i < n) {
+    uint8_t c = data[i];
+    uint8_t lit;
+    if (c != 0xFF) {
+      lit = c;
+      ++i;
+    } else {
+      if (i + 1 >= n) return -1;
+      uint8_t m = data[i + 1];
+      if (m == 0x00) {
+        lit = 0xFF;
+        i += 2;
+      } else {
+        int64_t j = i + 1;
+        while (j < n && data[j] == 0xFF) ++j;
+        if (j >= n) return -1;
+        m = data[j];
+        close_row();
+        if (m >= 0xD0 && m <= 0xD7) {
+          if (++r >= max_rows) return -3;
+          starts[r] = static_cast<int32_t>(base);
+          i = j + 1;
+          continue;
+        }
+        if (m == 0xD9) {
+          *used_words = base;
+          *end_off = j + 1;
+          return r + 1;
+        }
+        return -1;
+      }
+    }
+    if (base + (k >> 2) >= cap_words) return -2;
+    acc = (acc << 8) | lit;
+    if ((++k & 3) == 0) { out[base + (k >> 2) - 1] = acc; acc = 0; }
+  }
+  return -1;
+}
+
 int64_t jt_prep_ecs(const uint8_t* data, int64_t n, int64_t start,
                     uint32_t* out, int64_t wn, int64_t max_rows,
                     int32_t* lens, int64_t* end_off) {

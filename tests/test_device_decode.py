@@ -44,3 +44,44 @@ def test_device_batch_gray():
     assert batch.shape == (2, 40, 40, 1)
     host = jpeg_tpu.decode_jpeg(jpegs[1], exact=True).pixels()
     assert np.abs(batch[1].astype(int) - host.astype(int)).max() <= 1
+
+
+def test_native_flat_prep_matches_python_parser():
+    """The C++ single-pass prep and the Python parse/unstuff/pack path
+    must produce identical lane content (and thus identical decodes)."""
+    from jpeg_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    params = EncodeParams(h=2, v=2, quality=85, restart_interval=3,
+                          optimize=False, exact=False)
+    jpegs = [encode_jpeg(make_ppm(80, 64, seed=90 + i), params) for i in range(3)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    fast = dec._prepare_native(jpegs)
+    assert fast is not None and fast[0] == "flat"
+    _, buf, starts, nbits_f, _ = fast
+    hdr, dec.header = dec.header, b""  # force the Python parser
+    slow = dec.prepare(jpegs)
+    dec.header = hdr
+    assert slow[0] == "mat"
+    words = slow[1]
+    assert (nbits_f == slow[3]).all()
+    for lane in range(starts.size):
+        nw = (int(nbits_f[lane]) // 8 + 3) // 4
+        row_fast = buf[starts[lane] : starts[lane] + nw]
+        np.testing.assert_array_equal(row_fast, words[lane, :nw], err_msg=f"lane {lane}")
+    # frames whose header differs (different quality) must fall back
+    other = encode_jpeg(make_ppm(80, 64, seed=1), EncodeParams(h=2, v=2, quality=50, restart_interval=3, optimize=False, exact=False))
+    assert dec._prepare_native([jpegs[0], other]) is None
+
+
+def test_device_batch_chunked_pipeline():
+    params = EncodeParams(h=2, v=2, quality=75, restart_interval=2,
+                          optimize=False, exact=False)
+    jpegs = [encode_jpeg(make_ppm(64, 48, seed=100 + i), params) for i in range(5)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    batch = np.asarray(dec.decode_batch(jpegs, chunk=2))  # ragged: 2+2+1
+    assert batch.shape == (5, 48, 64, 3)
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
