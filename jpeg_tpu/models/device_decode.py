@@ -106,10 +106,11 @@ def _decode_device(plan, geom, words, nbits, qtables, max_steps, frames,
 def _decode_device_flat(plan, geom, buf, starts, nbits, qtables, max_steps,
                         frames, segs_per_frame, wn):
     """Flat-upload variant: ship the tight word packing (~compressed size)
-    and rebuild the [S, Wn] lane matrix on-device with one gather --
+    and rebuild the [S, Wn] lane matrix on-device with one row gather
+    (measured faster than a row dynamic_slice lowering on this target) --
     lookahead columns past a row's end read the next row's words, which
     the decoder never consumes (the nbits overrun check kills the lane
-    first)."""
+    first; the tail rows stay in bounds via the buffer's wn-word slack)."""
     idx = starts[:, None] + jnp.arange(wn, dtype=jnp.int32)[None, :]
     words = jnp.take(buf, idx, mode="clip")
     return _decode_impl(plan, geom, words, nbits, qtables, max_steps, frames,
@@ -201,7 +202,11 @@ class DeviceDecoder:
         if need > self.wn:
             self.wn = (need + 15) // 16 * 16
         # Bucket the upload length (256 KiB steps) so jit traces reuse.
-        blen = min(cap, (base + 1 + 65535) // 65536 * 65536)
+        # The buffer keeps >= wn words of tail slack so the device's
+        # row dynamic_slice never clamps a real row's start.
+        blen = (base + self.wn + 1 + 65535) // 65536 * 65536
+        if blen > buf.size:
+            buf = np.concatenate([buf, np.zeros(blen - buf.size, np.uint32)])
         return ("flat", buf[:blen], starts, lens * 8, self.qtables)
 
     def prepare(self, jpegs: Sequence[bytes]):
