@@ -260,6 +260,203 @@ def encode_scan_device(
     return words, seg_bits, hist
 
 
+def _exclusive_cumsum(x):
+    c = jnp.cumsum(x)
+    return c - x
+
+
+@partial(jax.jit, static_argnames=("n_segments", "words_per_seg", "items_cap"))
+def encode_scan_device2(
+    zz,  # [B, 64] int32 zig-zag blocks, DC already differential; row order
+    #      is arbitrary ("natural") -- `order` gives the bitstream order
+    dc_tab,  # [B] int32, bitstream order
+    ac_tab,  # [B] int32, bitstream order
+    ehufco,  # [T, 256] int32
+    ehufsi,  # [T, 256] int32
+    seg_of_block,  # [B] int32 nondecreasing, bitstream order
+    n_segments: int,
+    words_per_seg: int,
+    items_cap: int,
+    order=None,  # [B] int32: bitstream position -> zz row; None = identity.
+    #      Per-block math runs in natural order; only the small [B] vectors
+    #      permute, so no [B, 64] gather is ever materialized.
+):
+    """Scatter-minimal device entropy encode.
+
+    v1 (``encode_scan_device``) builds a [B, 68] symbol grid with ~6
+    scatters over [B, 63] update grids and bit-packs every grid slot --
+    TPU scatter cost is proportional to ATTEMPTED updates, so the mostly
+    invalid slots dominate.  Here the only scatters are two B-sized
+    "mark" scatters (for the rank->block inverse maps) and the two
+    bit-pack scatter-ADDs over the COMPACT item stream:
+
+      1. per block, sort AC positions so nonzeros lead (one lax.sort of
+         the [B, 63] minor axis -- no scatter);
+      2. item counts per block (DC + per-nonzero ZRLs+symbol + EOB) give
+         an exclusive cumsum ``base``; a mark/cumsum inverse maps each
+         compact item index -> (block, slot);
+      3. each item resolves elementwise to (symbol, extra) via the sorted
+         nonzero table; (code, size) comes from ONE one-hot bf16 matmul
+         with the code tables split into exact-in-bf16 lo/hi bytes;
+      4. segmented bit offsets = one cumsum; two scatter-ADDs place each
+         item's <=32 bits into its segment's u32 words.
+
+    Returns (words [n_segments, words_per_seg] u32, seg_bits, overflow,
+    missing): ``overflow`` = items_cap or words_per_seg too small (caller
+    retries larger), ``missing`` = some symbol has no code in its table.
+    """
+    b = zz.shape[0]
+    dc = zz[:, 0]
+    acs = zz[:, 1:]  # [B, 63]
+    nz = acs != 0
+
+    # ---- per-position run/ZRL structure (elementwise) ------------------
+    pos = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    last_nz = jax.lax.cummax(jnp.where(nz, pos, 0), axis=1)
+    prev_nz = jnp.concatenate(
+        [jnp.zeros((b, 1), last_nz.dtype), last_nz[:, :-1]], axis=1
+    )
+    gap = pos - prev_nz - 1
+    n_zrl = jnp.where(nz, gap // 16, 0)  # [B, 63]
+    run = jnp.where(nz, gap % 16, 0)
+
+    cat = encode_cat_jax(acs)
+    adj = jnp.where(acs < 0, acs - 1, acs)
+    extra = (adj & ((jnp.int32(1) << cat) - 1)).astype(jnp.int32)
+
+    # ---- bring nonzeros to the front of each row (sort, no scatter) ----
+    # key: nonzeros keep their position order, zeros sink to the back.
+    # Payload packs (n_zrl:2 | sym:8 | cat:5 | extra:16) into one i32 so
+    # the sort moves a single value alongside the key.
+    key = jnp.where(nz, pos, jnp.int32(64))
+    sym_rs = ((run << 4) | cat).astype(jnp.int32)
+    payload = (n_zrl << 29) | (sym_rs << 21) | (cat << 16) | (extra & 0xFFFF)
+    _, s_pay = jax.lax.sort((key, payload), dimension=1, num_keys=1)
+    s_nzrl = s_pay >> 29
+    n_nz = nz.sum(axis=1).astype(jnp.int32)  # [B]
+
+    # items of nonzero j: its ZRLs then its symbol -> cumulative slots.
+    items_of_nz = s_nzrl + 1  # [B, 63] (garbage past n_nz, masked below)
+    j_iota = jnp.arange(63, dtype=jnp.int32)[None, :]
+    nz_valid = j_iota < n_nz[:, None]
+    items_of_nz = jnp.where(nz_valid, items_of_nz, 0)
+    nz_cum = jnp.cumsum(items_of_nz, axis=1)  # inclusive
+    nz_slot_end = 1 + nz_cum  # symbol slot of nonzero j is nz_slot_end-1
+
+    has_any = n_nz > 0
+    ends_at_63 = has_any & (last_nz[:, -1] == 63)
+    eob = ~ends_at_63
+    n_sym = 1 + nz_cum[:, -1] + eob.astype(jnp.int32)  # [B]
+
+    # ---- compact item stream: inverse map via mark/cumsum --------------
+    if order is None:
+        n_sym_v = n_sym  # bitstream order == natural order
+        base_nat = None
+    else:
+        n_sym_v = jnp.take(n_sym, order)
+        inv_order = (
+            jnp.zeros(zz.shape[0], jnp.int32)
+            .at[order]
+            .set(jnp.arange(zz.shape[0], dtype=jnp.int32))
+        )
+    base = _exclusive_cumsum(n_sym_v)  # [B] bitstream order
+    if order is None:
+        base_nat = base
+    else:
+        base_nat = jnp.take(base, inv_order)
+    total = base[-1] + n_sym_v[-1]
+    overflow_items = total > items_cap
+
+    mark = jnp.zeros(items_cap, jnp.int32).at[base].add(1, mode="drop")
+    b_of = jnp.cumsum(mark) - 1  # [N] bitstream block position of each item
+    nat_of = b_of if order is None else jnp.take(order, b_of, mode="clip")
+    i_iota = jnp.arange(items_cap, dtype=jnp.int32)
+    slot = i_iota - jnp.take(base, b_of, mode="clip")
+    item_valid = i_iota < total
+
+    # second mark/cumsum INSIDE blocks: slot -> nonzero ordinal j.
+    # nz j occupies slots [1 + nz_cum[j-1], 1 + nz_cum[j]); mark the start
+    # of each nonzero's slot range in the compact stream.  (A gather-based
+    # nonzero pre-compaction was tried to shrink this scatter's attempts
+    # and measured 2.4x SLOWER -- large-table gathers cost more per
+    # element on this target than mostly-invalid scatter attempts.)
+    nz_start_flat = jnp.where(
+        nz_valid, base_nat[:, None] + (nz_slot_end - items_of_nz), items_cap
+    )
+    markj = jnp.zeros(items_cap, jnp.int32).at[nz_start_flat.reshape(-1)].add(
+        1, mode="drop"
+    )
+    cj = jnp.cumsum(markj)  # inclusive count of range starts
+    # Ranges started strictly before item i's block: base slots hold DC
+    # symbols (never range starts), so cj at the block base counts exactly
+    # the ranges of earlier blocks.
+    cj_at_base = jnp.take(cj, jnp.take(base, b_of, mode="clip"), mode="clip")
+    j_in_block = cj - cj_at_base - 1  # ordinal of the range item i is in
+
+    is_dc = slot == 0
+    is_eob_slot = item_valid & (~is_dc) & (
+        (slot == (jnp.take(n_sym_v, b_of, mode="clip") - 1))
+        & jnp.take(eob, nat_of, mode="clip")
+    )
+    # within a nonzero's range, the LAST slot is the symbol; earlier = ZRL
+    flatj = nat_of * 63 + jnp.clip(j_in_block, 0, 62)
+    end_of_j = 1 + jnp.take(nz_cum.reshape(-1), flatj, mode="clip")
+    is_sym_slot = item_valid & (~is_dc) & (~is_eob_slot) & (slot == end_of_j - 1)
+
+    pay_j = jnp.take(s_pay.reshape(-1), flatj, mode="clip")
+    sym_j = (pay_j >> 21) & 0xFF
+    cat_j = (pay_j >> 16) & 0x1F
+    ext_j = pay_j & 0xFFFF
+
+    dcv = jnp.take(dc, nat_of, mode="clip")
+    dcat = encode_cat_jax(dcv)
+    dadj = jnp.where(dcv < 0, dcv - 1, dcv)
+    dext = (dadj & ((jnp.int32(1) << dcat) - 1)).astype(jnp.int32)
+
+    sym = jnp.where(is_dc, dcat, jnp.where(is_eob_slot, 0,
+                    jnp.where(is_sym_slot, sym_j, 0xF0)))
+    ext_l = jnp.where(is_dc, dcat, jnp.where(is_sym_slot, cat_j, 0))
+    ext_v = jnp.where(is_dc, dext, jnp.where(is_sym_slot, ext_j, 0))
+
+    # ---- (code, size): one bf16 one-hot matmul, lo/hi split ------------
+    T = ehufco.shape[0]
+    tab = jnp.where(
+        is_dc, jnp.take(dc_tab, b_of, mode="clip"),
+        jnp.take(ac_tab, b_of, mode="clip"),
+    )
+    iota256 = jnp.arange(256, dtype=jnp.int32)[None, :]
+    oh = (sym[:, None] == iota256).astype(jnp.bfloat16)  # [N, 256]
+    lo = (ehufco & 0xFF).astype(jnp.bfloat16).T  # [256, T]
+    hi = ((ehufco >> 8) & 0xFF).astype(jnp.bfloat16).T
+    si = ehufsi.astype(jnp.bfloat16).T
+    tbl = jnp.concatenate([lo, hi, si], axis=1)  # [256, 3T]
+    picked = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)  # [N, 3T]
+    code = picked[:, 0].astype(jnp.int32) + picked[:, T].astype(jnp.int32) * 256
+    size = picked[:, 2 * T].astype(jnp.int32)
+    for t in range(1, T):
+        sel = tab == t
+        code = jnp.where(
+            sel,
+            picked[:, t].astype(jnp.int32) + picked[:, T + t].astype(jnp.int32) * 256,
+            code,
+        )
+        size = jnp.where(sel, picked[:, 2 * T + t].astype(jnp.int32), size)
+
+    missing = (item_valid & (size == 0)).any()
+    item_val = ((code.astype(jnp.uint32) << ext_l.astype(jnp.uint32))
+                | ext_v.astype(jnp.uint32)).astype(jnp.int32)
+    item_len = jnp.where(item_valid, size + ext_l, 0)
+
+    # ---- segmented bit pack --------------------------------------------
+    seg_id = jnp.take(seg_of_block, b_of, mode="clip")
+    seg_id = jnp.where(item_valid, seg_id, n_segments - 1)
+    words, seg_bits = pack_scan_segments_jax(
+        item_val, item_len, seg_id, n_segments, words_per_seg
+    )
+    overflow = overflow_items | (seg_bits > words_per_seg * 32 - 31).any()
+    return words, seg_bits, overflow, missing
+
+
 def pack_scan_device(planes, geom, info, tables, ri: int = 0):
     """High-level device entropy encode: planes -> stuffed ECS segments.
 
@@ -310,33 +507,39 @@ def pack_scan_device(planes, geom, info, tables, ri: int = 0):
     ta = np.asarray([tmap[(1, info.ta[j])] for j in range(info.ns)])
 
     n_segments = int(seg_of.max()) + 1
-    # Capacity: <= 31 bits per symbol slot, 68 slots per block.
+    # Worst-case capacity: <= 31 bits per symbol slot, 68 slots per block.
     max_blocks_per_seg = int(np.bincount(seg_of).max())
     words_per_seg = (max_blocks_per_seg * 68 * 31) // 32 + 2
 
-    words, seg_bits, _hist = encode_scan_device(
-        zz.astype(np.int32),
-        td[comp_idx].astype(np.int32),
-        ta[comp_idx].astype(np.int32),
-        ehufco,
-        ehufsi,
-        seg_of.astype(np.int32),
-        n_segments,
-        int(words_per_seg),
-    )
-    words = np.asarray(words)
-    seg_bits = np.asarray(seg_bits)
-    hist = np.asarray(_hist)
-    missing = (hist > 0) & (ehufsi == 0)
-    if missing.any():
+    nb = zz.shape[0]
+    items_cap = (nb * 12 + 8191) // 8192 * 8192  # avg ~9 items/block
+    while True:
+        words, seg_bits, overflow, missing = encode_scan_device2(
+            zz.astype(np.int32),
+            td[comp_idx].astype(np.int32),
+            ta[comp_idx].astype(np.int32),
+            ehufco,
+            ehufsi,
+            seg_of.astype(np.int32),
+            n_segments,
+            int(words_per_seg),
+            int(items_cap),
+        )
+        if not bool(overflow):
+            break
+        if items_cap >= nb * 68:  # hard bound: 68 slots per block
+            break
+        items_cap = min(nb * 68, items_cap * 2)
+    if bool(missing):
         # Same hard failure as the host packer / reference value_to_vlc.
         from ..errors import UnsupportedError
 
-        bad = int(np.nonzero(missing.any(axis=0))[0][0])
         raise UnsupportedError(
-            f"symbol 0x{bad:02x} has no code in the selected Huffman table "
+            "a symbol has no code in the selected Huffman table "
             "(content exceeds table range; use optimized tables)"
         )
+    words = np.asarray(words)
+    seg_bits = np.asarray(seg_bits)
     return [finalize_segment(words[s], int(seg_bits[s])) for s in range(n_segments)]
 
 

@@ -1,0 +1,367 @@
+"""Full on-device JPEG encode: pixel frames in, compressed bytes out.
+
+The mirror of ``device_decode.DeviceDecoder`` and the deployment shape
+for TPU egress: frames that already live in HBM (model outputs, decoded
+video) compress on the chip -- color convert -> box downsample -> FDCT ->
+quantize -> zig-zag/differential-DC -> device entropy encode
+(entropy.encode_jax.encode_scan_device2) -- and only the packed segment
+words (~compressed size) come back to the host, which finishes with the
+byte-serial work: 1-padding flush, 0xFF byte stuffing, marker assembly
+(all vectorized numpy over the whole batch).
+
+One jitted executable per (geometry, quality, batch shape); frames of a
+stream share those, so a whole batch encodes in a single call.  Output is
+byte-identical to ``encode_jpeg`` with the same parameters
+(default/MJPEG tables, optimize=False -- the streaming shape; per-image
+optimized tables remain the per-frame ``encode_jpeg`` path).
+
+Reference semantics covered here: libjpeg-compatible quality scaling
+(encoder.c:38-65), K.1 base tables (encoder.c:14-34), edge-replication
+padding (frame.c:277-350), box chroma downsample (frame.c:84-132),
+differential DC with per-restart-interval reset (encoder.c:442-456,
+decoder.c:371-373), RST0..7 cycling (encoder.c write_ecs path).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DEFAULT_HTABLES,
+    STD_CHROMINANCE_QUANT,
+    STD_LUMINANCE_QUANT,
+    ZIGZAG,
+    scale_qtable,
+)
+from ..encoder import EncodeParams, geometry_for_image
+from ..entropy.encode import build_visit_order
+from ..entropy.encode_jax import encode_scan_device2
+from ..errors import UnsupportedError
+from ..format import emit
+from ..geometry import FrameGeometry, ScanInfo
+from ..models.batch import encode_plane_batch
+from ..ops.color import rgb_to_ycc
+from ..ops.resample import downsample_box
+from ..tables import HuffSpec, derive_table
+
+
+@dataclass
+class _Shape:
+    components: int
+    precision: int
+    height: int
+    width: int
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "ri", "frames", "n_segments", "words_per_seg", "items_cap",
+    ),
+)
+def _encode_device(
+    pixels,  # [F, H, W, C] uint8/uint16
+    qtables,  # [2, 64] int32 (luma, chroma)
+    visit_src,  # [Bf] int32: visit order -> row in concat(planes)
+    prev_idx,  # [Bf] int32: previous same-component block in segment, -1
+    dc_tab,  # [Bf] int32
+    ac_tab,  # [Bf] int32
+    seg_of,  # [Bf] int32
+    ehufco,  # [T, 256] int32
+    ehufsi,  # [T, 256] int32
+    geom: FrameGeometry,
+    ri: int,
+    frames: int,
+    n_segments: int,  # per frame
+    words_per_seg: int,
+    items_cap: int,
+):
+    f = pixels.shape[0]
+    x = pixels.astype(jnp.float32)
+    pad_y = geom.size_y - geom.height
+    pad_x = geom.size_x - geom.width
+    if pad_y or pad_x:
+        x = jnp.pad(x, ((0, 0), (0, pad_y), (0, pad_x), (0, 0)), mode="edge")
+
+    comps = sorted(geom.components, key=lambda c: c.cid)
+    if len(comps) == 3:
+        ycc = rgb_to_ycc(x, geom.precision, exact=False)
+        if pad_y or pad_x:
+            # Reference quirk (frame_to_ycc, frame.c:162-163): color
+            # conversion only touches the true [height, width] window;
+            # the MCU padding keeps raw replicated RGB into the DCT.
+            in_y = jnp.arange(geom.size_y)[:, None] < geom.height
+            in_x = jnp.arange(geom.size_x)[None, :] < geom.width
+            ycc = jnp.where((in_y & in_x)[None, :, :, None], ycc, x)
+        chans = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        chans = [x[..., 0]]
+
+    parts = []
+    for comp, chan in zip(comps, chans):
+        sy = geom.size_y // (comp.b_y * 8)
+        sx = geom.size_x // (comp.b_x * 8)
+        if sy > 1 or sx > 1:
+            chan = downsample_box(chan, sy, sx)
+        qt = qtables[0] if comp.tq == 0 else qtables[1]
+        parts.append(encode_plane_batch(chan, qt, geom.precision, exact=False))
+    allz = jnp.concatenate(parts, axis=1)  # [F, Btot, 64] raster blocks
+
+    # Blocks stay in natural (component-major raster) order: the entropy
+    # stage takes the bitstream order as an index vector, so no [.., 64]
+    # visit-order gather is ever materialized.  prev_idx here maps natural
+    # row -> natural row of the previous same-component block within the
+    # restart interval (-1 at interval starts).
+    zz = allz[:, :, ZIGZAG]
+    dc = zz[:, :, 0]
+    prev = jnp.where(
+        (prev_idx >= 0)[None, :],
+        jnp.take(dc, jnp.clip(prev_idx, 0, None), axis=1),
+        0,
+    )
+    zz = jnp.concatenate([(dc - prev)[:, :, None], zz[:, :, 1:]], axis=2)
+
+    bf = zz.shape[1]
+    zzf = zz.reshape(f * bf, 64)
+    tile = lambda a: jnp.tile(a, frames)  # noqa: E731
+    seg_f = tile(seg_of) + (
+        jnp.repeat(jnp.arange(frames, dtype=jnp.int32), bf) * n_segments
+    )
+    order_f = tile(visit_src) + (
+        jnp.repeat(jnp.arange(frames, dtype=jnp.int32), bf) * bf
+    )
+    return encode_scan_device2(
+        zzf,
+        tile(dc_tab),
+        tile(ac_tab),
+        ehufco,
+        ehufsi,
+        seg_f,
+        frames * n_segments,
+        words_per_seg,
+        items_cap,
+        order=order_f,
+    )
+
+
+@dataclass
+class DeviceEncoder:
+    """Compiled whole-batch encoder for frames sharing one geometry.
+
+    Build once with ``for_config`` (or ``for_frame`` from a sample array),
+    then ``encode_batch`` a [F, H, W, C] pixel batch -> list of JPEG byte
+    strings.  Streaming shape: default (MJPEG) Huffman tables, restart
+    markers every ``restart_interval`` MCUs (so the output is itself
+    parallel-decodable by DeviceDecoder).
+    """
+
+    geom: FrameGeometry
+    info: ScanInfo
+    ri: int
+    n_segments: int
+    qtables: np.ndarray  # [2, 64] int32
+    header: bytes
+    visit_src: np.ndarray
+    prev_idx: np.ndarray
+    dc_tab: np.ndarray
+    ac_tab: np.ndarray
+    seg_of: np.ndarray
+    ehufco: np.ndarray
+    ehufsi: np.ndarray
+    words_per_seg: int
+    items_per_block: int = 12  # sticky item-budget multiplier, grows on overflow
+
+    @staticmethod
+    def for_config(
+        height: int,
+        width: int,
+        components: int = 3,
+        params: Optional[EncodeParams] = None,
+    ) -> "DeviceEncoder":
+        params = params or EncodeParams(h=2, v=2, optimize=False, exact=False)
+        if params.optimize:
+            raise UnsupportedError(
+                "DeviceEncoder streams with shared default tables; use "
+                "encode_jpeg for per-image optimized tables"
+            )
+        if not params.restart_interval:
+            raise UnsupportedError(
+                "DeviceEncoder needs a restart interval (the parallel axis)"
+            )
+        geom = geometry_for_image(
+            _Shape(components, 8, height, width), params  # type: ignore[arg-type]
+        )
+        comps = sorted(geom.components, key=lambda c: c.cid)
+        info = ScanInfo(
+            component_ids=tuple(c.cid for c in comps),
+            td=tuple(c.td for c in comps),
+            ta=tuple(c.ta for c in comps),
+        )
+        ri = params.restart_interval
+        comp_idx, block_seq = build_visit_order(geom, info)
+        offsets = np.zeros(len(comps), np.int64)
+        off = 0
+        for j, c in enumerate(comps):
+            offsets[j] = off
+            off += c.n_blocks
+        visit_src = offsets[comp_idx] + block_seq
+
+        bpm = comp_idx.size // geom.n_mcus if info.ns > 1 else (
+            comps[0].h * comps[0].v
+        )
+        mcu_of = np.arange(comp_idx.size) // bpm
+        seg_of = mcu_of // ri
+        n_segments = int(seg_of.max()) + 1
+
+        # Previous same-component block within the restart interval, as a
+        # NATURAL-row -> NATURAL-row map (the DC prediction chain runs in
+        # visit order; rows stay component-major on device).
+        prev_visit = np.full(comp_idx.size, -1, np.int64)
+        for j in range(len(comps)):
+            sel = np.nonzero(comp_idx == j)[0]
+            same_seg = seg_of[sel][1:] == seg_of[sel][:-1]
+            prev_visit[sel[1:][same_seg]] = sel[:-1][same_seg]
+        prev_idx = np.full(comp_idx.size, -1, np.int64)
+        prev_idx[visit_src] = np.where(
+            prev_visit >= 0, visit_src[np.clip(prev_visit, 0, None)], -1
+        )
+
+        keys: List[Tuple[int, int]] = []
+        for td in info.td:
+            if (0, td) not in keys:
+                keys.append((0, td))
+        for ta in info.ta:
+            if (1, ta) not in keys:
+                keys.append((1, ta))
+        tables = {k: derive_table(HuffSpec.from_pair(DEFAULT_HTABLES[k])) for k in keys}
+        tmap = {k: i for i, k in enumerate(keys)}
+        ehufco = np.stack([tables[k].ehufco for k in keys]).astype(np.int32)
+        ehufsi = np.stack([tables[k].ehufsi for k in keys]).astype(np.int32)
+        td_arr = np.asarray([tmap[(0, info.td[j])] for j in range(info.ns)])
+        ta_arr = np.asarray([tmap[(1, info.ta[j])] for j in range(info.ns)])
+
+        qtables = np.ones((2, 64), dtype=np.int32)
+        qtables[0] = scale_qtable(STD_LUMINANCE_QUANT, params.quality)
+        qtables[1] = scale_qtable(STD_CHROMINANCE_QUANT, params.quality)
+
+        hdr = bytearray()
+        hdr += emit.emit_soi()
+        hdr += emit.emit_dqt(qtables[0].astype(np.uint16), 0)
+        if geom.nf > 1:
+            hdr += emit.emit_dqt(qtables[1].astype(np.uint16), 1)
+        hdr += emit.emit_sof0(geom)
+        specs = {k: HuffSpec.from_pair(v) for k, v in DEFAULT_HTABLES.items()}
+        hdr += emit.emit_dht(specs[(0, 0)], 0, 0)
+        hdr += emit.emit_dht(specs[(1, 0)], 1, 0)
+        if geom.nf > 1:
+            hdr += emit.emit_dht(specs[(0, 1)], 0, 1)
+            hdr += emit.emit_dht(specs[(1, 1)], 1, 1)
+        hdr += emit.emit_dri(ri)
+        hdr += emit.emit_sos(info)
+
+        max_blocks_per_seg = int(np.bincount(seg_of).max())
+        return DeviceEncoder(
+            geom=geom,
+            info=info,
+            ri=ri,
+            n_segments=n_segments,
+            qtables=qtables,
+            header=bytes(hdr),
+            visit_src=visit_src.astype(np.int32),
+            prev_idx=prev_idx.astype(np.int32),
+            dc_tab=td_arr[comp_idx].astype(np.int32),
+            ac_tab=ta_arr[comp_idx].astype(np.int32),
+            seg_of=seg_of.astype(np.int32),
+            ehufco=ehufco,
+            ehufsi=ehufsi,
+            words_per_seg=(max_blocks_per_seg * 68 * 31) // 32 + 2,
+        )
+
+    def encode_batch(self, pixels) -> List[bytes]:
+        """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes."""
+        frames = int(pixels.shape[0])
+        if pixels.ndim != 4:
+            raise UnsupportedError("encode_batch wants [F, H, W, C]")
+        nb = self.visit_src.size * frames
+        while True:
+            raw = nb * self.items_per_block
+            quant = 8192 if raw < 262144 else 65536
+            items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
+            words, seg_bits, overflow, missing = _encode_device(
+                jnp.asarray(pixels),
+                jnp.asarray(self.qtables),
+                jnp.asarray(self.visit_src),
+                jnp.asarray(self.prev_idx),
+                jnp.asarray(self.dc_tab),
+                jnp.asarray(self.ac_tab),
+                jnp.asarray(self.seg_of),
+                jnp.asarray(self.ehufco),
+                jnp.asarray(self.ehufsi),
+                self.geom,
+                self.ri,
+                frames,
+                self.n_segments,
+                self.words_per_seg,
+                items_cap,
+            )
+            if not bool(overflow) or self.items_per_block >= 68:
+                break
+            self.items_per_block = min(68, self.items_per_block * 2)
+        if bool(missing):
+            raise UnsupportedError(
+                "a symbol has no code in the default Huffman tables "
+                "(content exceeds table range; use encode_jpeg optimize=True)"
+            )
+        seg_bits = np.asarray(seg_bits)
+        w_used = max(1, int((seg_bits.max() + 31) // 32))
+        words_h = np.asarray(words[:, :w_used])  # device slice, then download
+        return self._finalize(words_h, seg_bits, frames)
+
+    def _finalize(self, words: np.ndarray, seg_bits: np.ndarray, frames: int):
+        """Vectorized host tail: trim, 1-pad, byte-stuff, assemble markers."""
+        sg, w = words.shape
+        arr = np.ascontiguousarray(words).byteswap().view(np.uint8).reshape(sg, w * 4)
+        nbytes = (seg_bits + 7) // 8
+        pad = nbytes * 8 - seg_bits
+        rows = np.arange(sg)
+        last = np.maximum(nbytes - 1, 0)
+        padded_last = arr[rows, last] | ((1 << pad) - 1).astype(np.uint8)
+        arr[rows, last] = np.where(nbytes > 0, padded_last, arr[rows, last])
+
+        # One stuffing pass over every segment's live bytes.
+        live = np.arange(w * 4)[None, :] < nbytes[:, None]
+        flat = arr[live]  # concatenated trimmed segments
+        ends = np.cumsum(nbytes)
+        is_ff = flat == 0xFF
+        out = np.zeros(flat.size + int(is_ff.sum()), dtype=np.uint8)
+        dst = np.arange(flat.size) + np.cumsum(is_ff) - is_ff
+        out[dst] = flat
+        ffcum = np.concatenate(([0], np.cumsum(is_ff)))
+        s_end = ends + ffcum[ends]  # stuffed end offset per segment
+        s_start = np.concatenate(([0], s_end[:-1]))
+
+        # Assemble each frame in one vectorized pass: every stuffed byte
+        # shifts right by 2 per preceding in-frame segment boundary (the
+        # RSTn marker), then the markers drop into the gaps.
+        res: List[bytes] = []
+        ns = self.n_segments
+        hdr = np.frombuffer(self.header, np.uint8)
+        for f in range(frames):
+            seg_lens = s_end[f * ns:(f + 1) * ns] - s_start[f * ns:(f + 1) * ns]
+            body = out[s_start[f * ns]:s_end[(f + 1) * ns - 1]]
+            buf = np.empty(hdr.size + body.size + 2 * (ns - 1) + 2, np.uint8)
+            buf[: hdr.size] = hdr
+            shift = np.repeat(np.arange(ns, dtype=np.int64), seg_lens)
+            buf[hdr.size + np.arange(body.size) + 2 * shift] = body
+            gap = hdr.size + np.cumsum(seg_lens[:-1]) + 2 * np.arange(ns - 1)
+            buf[gap] = 0xFF
+            buf[gap + 1] = 0xD0 + (np.arange(ns - 1) & 7)
+            buf[-2:] = (0xFF, 0xD9)
+            res.append(buf.tobytes())
+        return res

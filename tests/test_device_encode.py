@@ -1,0 +1,96 @@
+"""Batched on-device encoder vs the host encoder and the reference decoder.
+
+Contract (fast dense path): quantized coefficients within +-1 of the host
+fast path (different XLA fusion orders round borderline FDCT values
+differently), streams decodable by the reference decoder bit-exactly to
+our own decoder's output, correct markers/structure.
+"""
+
+import numpy as np
+import pytest
+
+import jpeg_tpu
+from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+from jpeg_tpu.errors import UnsupportedError
+from jpeg_tpu.models.device_encode import DeviceEncoder
+from jpeg_tpu.utils.pnm import read_pnm
+from refbin import ensure_reference_binaries, make_pgm, make_ppm, ref_decode
+
+pytestmark = pytest.mark.skipif(
+    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
+)
+
+
+def _coeff_maxdiff(a_jpg: bytes, b_jpg: bytes) -> int:
+    _, a = jpeg_tpu.decode_coefficients(a_jpg, entropy="serial")
+    _, b = jpeg_tpu.decode_coefficients(b_jpg, entropy="serial")
+    return max(int(np.abs(a[c].astype(int) - b[c].astype(int)).max()) for c in a)
+
+
+def test_device_encode_color_batch():
+    params = EncodeParams(h=2, v=2, quality=80, optimize=False,
+                          restart_interval=3, exact=False)
+    ppms = [make_ppm(96, 72, seed=s) for s in range(3)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(72, 96, 3, params)
+    outs = enc.encode_batch(pix)
+    for out, ppm in zip(outs, ppms):
+        host = encode_jpeg(ppm, params)
+        assert _coeff_maxdiff(out, host) <= 1
+        # the reference decoder accepts the stream and agrees with ours
+        assert ref_decode(out) == jpeg_tpu.decode_jpeg(out).to_pnm()
+
+
+def test_device_encode_gray_and_422():
+    for comps, w, h, p in (
+        (1, 48, 40, EncodeParams(h=1, v=1, quality=75, optimize=False,
+                                 restart_interval=2, exact=False)),
+        (3, 80, 64, EncodeParams(h=2, v=1, quality=60, optimize=False,
+                                 restart_interval=5, exact=False)),
+    ):
+        maker = make_pgm if comps == 1 else make_ppm
+        pnms = [maker(w, h, seed=s) for s in range(2)]
+        pix = np.stack([read_pnm(x).data for x in pnms]).astype(np.uint8)
+        enc = DeviceEncoder.for_config(h, w, comps, p)
+        for out, pnm in zip(enc.encode_batch(pix), pnms):
+            assert _coeff_maxdiff(out, encode_jpeg(pnm, p)) <= 1
+            assert ref_decode(out) == jpeg_tpu.decode_jpeg(out).to_pnm()
+
+
+def test_device_encode_items_cap_retry():
+    """An undersized item budget must grow and still produce valid output."""
+    params = EncodeParams(h=1, v=1, quality=95, optimize=False,
+                          restart_interval=1, exact=False)
+    pnms = [make_pgm(256, 256, seed=7)]
+    pix = np.stack([read_pnm(x).data for x in pnms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(256, 256, 1, params)
+    enc.items_per_block = 1  # force the overflow-retry path
+    out = enc.encode_batch(pix)[0]
+    assert enc.items_per_block > 1
+    assert ref_decode(out) == jpeg_tpu.decode_jpeg(out).to_pnm()
+
+
+def test_device_encode_rejects_unsupported_modes():
+    with pytest.raises(UnsupportedError):
+        DeviceEncoder.for_config(32, 32, 3, EncodeParams(optimize=True,
+                                                         restart_interval=2))
+    with pytest.raises(UnsupportedError):
+        DeviceEncoder.for_config(32, 32, 3, EncodeParams(optimize=False,
+                                                         restart_interval=0))
+
+
+def test_device_encode_roundtrips_through_device_decoder():
+    """The streaming encoder's output feeds the streaming decoder."""
+    from jpeg_tpu.models.device_decode import DeviceDecoder
+
+    params = EncodeParams(h=2, v=2, quality=85, optimize=False,
+                          restart_interval=2, exact=False)
+    ppms = [make_ppm(64, 48, seed=20 + s) for s in range(3)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(48, 64, 3, params)
+    jpegs = enc.encode_batch(pix)
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    out = np.asarray(dec.decode_batch(jpegs, chunk=2))
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(out[i].astype(int) - golden.astype(int)).max() <= 1
