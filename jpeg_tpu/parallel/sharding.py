@@ -81,6 +81,46 @@ def make_sharded_decoder(cfg: BatchConfig, mesh: Mesh, exact: bool = False):
     return decode
 
 
+def make_sharded_stream_decoder(
+    plan, geom, mesh: Mesh, frames: int, segs_per_frame: int, max_steps: int
+):
+    """Full stream decode (lockstep entropy + dense) sharded over 'frame'.
+
+    Frames are embarrassingly parallel, so the whole compressed-words ->
+    pixels pipeline runs under ``shard_map`` with zero collectives: each
+    device decodes its own frames' restart segments (lanes are grouped
+    frame-major) and produces its own pixel shard.  ``frames`` must be a
+    multiple of the mesh's 'frame' axis.  Returns a jitted
+    ``decode(words [F*spf, Wn], nbits [F*spf], qtables) ->
+    (pixels sharded P('frame'), starved [frame_axis])``.
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.device_decode import _decode_impl
+
+    n = mesh.shape["frame"]
+    if frames % n:
+        raise ValueError(f"frames ({frames}) must divide over 'frame' ({n})")
+    fpd = frames // n
+
+    def local(words, nbits, qtables):
+        px, starved = _decode_impl(
+            plan, geom, words, nbits, qtables, max_steps, fpd, segs_per_frame
+        )
+        return px, starved.reshape(1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frame", None), P("frame"), P()),
+        out_specs=(P("frame", None, None, None), P("frame")),
+        check_rep=False,  # scatter ops defeat the replication checker
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_roundtrip(cfg: BatchConfig, mesh: Mesh):
     """Jitted full-pipeline step (decode + re-encode + histogram psum)."""
     in_spec = NamedSharding(mesh, P("frame", "tile", None))

@@ -69,3 +69,47 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (2, 128, 128, 3)
     ge.dryrun_multichip(8)
+
+
+def test_sharded_full_stream_decode_matches_single_device():
+    """Entropy + dense decode sharded over 'frame' == unsharded output."""
+    import jpeg_tpu
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.models.device_decode import DeviceDecoder, _decode_impl
+    from jpeg_tpu.parallel.sharding import make_mesh, make_sharded_stream_decoder
+    from refbin import make_ppm
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                          restart_interval=2, exact=False)
+    jpegs = [encode_jpeg(make_ppm(48, 32, seed=60 + i), params) for i in range(4)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    prepared = dec.prepare(jpegs)
+    if prepared[0] == "flat":
+        import jax.numpy as jnp
+        buf, starts, nbits, qts = prepared[1:]
+        idx = starts[:, None] + np.arange(dec.wn, dtype=np.int32)[None, :]
+        words = np.asarray(buf)[np.minimum(idx, buf.shape[0] - 1)]
+    else:
+        words, _, nbits, qts = prepared[1:]
+    from jpeg_tpu.entropy.lockstep_jax import _max_steps_for
+    steps = _max_steps_for(nbits.astype(np.int64), dec.plan, dec.ri,
+                           optimistic=False)
+
+    mesh = make_mesh(8)  # ('frame', 'tile') = (4, 2)
+    decode = make_sharded_stream_decoder(
+        dec.plan, dec.geom, mesh, 4, dec.segs_per_frame, steps
+    )
+    px, starved = decode(words, nbits, qts)
+    assert not np.asarray(starved).any()
+    ref, _ = _decode_impl(dec.plan, dec.geom, jnp_arr(words), jnp_arr(nbits),
+                          jnp_arr(qts), steps, 4, dec.segs_per_frame)
+    np.testing.assert_array_equal(np.asarray(px), np.asarray(ref))
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(np.asarray(px)[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
