@@ -41,6 +41,48 @@ def _decode(args) -> int:
     return 0
 
 
+def _mjpeg(args) -> int:
+    import numpy as np
+
+    from . import mjpeg
+    from .errors import JpegError
+    from .utils.pnm import write_pnm
+
+    try:
+        data = Path(args.input).read_bytes()
+    except OSError:
+        print("fopen failure", file=sys.stderr)
+        return 1
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    try:
+        if args.isolate:
+            res = mjpeg.decode_stream(data)
+            for i, img in enumerate(res.frames):
+                if img is None:
+                    continue
+                ext = "ppm" if img.geometry.nf >= 3 else "pgm"
+                (outdir / f"frame_{i:05d}.{ext}").write_bytes(img.to_pnm())
+            for i, msg in res.errors:
+                print(f"frame {i}: {msg}", file=sys.stderr)
+            print(f"Success. ({res.ok_count}/{len(res.frames)} frames)")
+            return 0 if res.ok_count else 1
+        px = np.asarray(mjpeg.decode_stream_device(data, chunk=args.chunk))
+    except JpegError as e:
+        print(f"Failure. ({type(e).__name__}: {e})", file=sys.stderr)
+        return 1
+    f, h, w, c = px.shape
+    ext = "ppm" if c >= 3 else "pgm"
+    from .format.parse import parse_codestream
+
+    prec = parse_codestream(mjpeg.split_stream(data)[0]).geometry.precision
+    for i in range(f):
+        pnm = write_pnm(px[i].astype(np.float32), w, h, prec, components=c)
+        (outdir / f"frame_{i:05d}.{ext}").write_bytes(pnm)
+    print(f"Success. ({f} frames)")
+    return 0
+
+
 def _encode(args) -> int:
     from .encoder import EncodeParams, encode_jpeg
     from .errors import JpegError
@@ -91,6 +133,16 @@ def main(argv=None) -> int:
     e.add_argument("input", nargs="?", default="Lenna.ppm")
     e.add_argument("output", nargs="?", default="output.jpg")
     e.set_defaults(fn=_encode)
+
+    m = sub.add_parser("mjpeg", help="raw MJPEG stream -> PPM/PGM frames")
+    m.add_argument("input")
+    m.add_argument("outdir")
+    m.add_argument("--chunk", type=int, default=8,
+                   help="frames per pipelined device chunk")
+    m.add_argument("--isolate", action="store_true",
+                   help="per-frame decode with fault isolation instead "
+                        "of the batched device path")
+    m.set_defaults(fn=_mjpeg)
 
     args = parser.parse_args(argv)
     return args.fn(args)

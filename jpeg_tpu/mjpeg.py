@@ -62,6 +62,26 @@ class StreamResult:
         return sum(f is not None for f in self.frames)
 
 
+def decode_stream_device(data: bytes, chunk: int = 8):
+    """Raw MJPEG bytes -> device-resident pixel batch [F, H, W, C].
+
+    The streaming deployment shape: all frames share one geometry and
+    (implicit or repeated) Huffman tables, entropy + dense decode run on
+    the accelerator in pipelined chunks, and the pixels stay in HBM.
+    Raises on malformed streams -- use ``decode_stream`` when per-frame
+    fault isolation matters more than throughput.
+    """
+    from .models.device_decode import DeviceDecoder
+
+    parts = split_stream(data)
+    if not parts:
+        from .errors import FileIOError
+
+        raise FileIOError("no JPEG frames in stream")
+    dec = DeviceDecoder.for_stream(parts[0])
+    return dec.decode_batch(parts, chunk=chunk)
+
+
 def decode_stream(
     data: bytes, exact: bool = False, entropy: str = "auto"
 ) -> StreamResult:

@@ -85,3 +85,19 @@ def test_device_batch_chunked_pipeline():
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_batch_12bit():
+    # 12-bit needs optimized tables (the default tables lack the large DC
+    # categories -- same limitation as the reference encoder); repeated
+    # frames share the optimized tables, the batch-decoder contract.
+    params = EncodeParams(h=2, v=1, quality=85, restart_interval=2,
+                          optimize=True, exact=False)
+    one = encode_jpeg(make_ppm(48, 32, seed=110, maxval=4095), params)
+    jpegs = [one, one]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    batch = np.asarray(dec.decode_batch(jpegs))
+    assert batch.dtype == np.uint16
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1

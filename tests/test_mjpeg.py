@@ -66,3 +66,49 @@ def test_headerless_mjpeg_frame_decodes_with_implicit_tables():
     assert b"\xff\xc4" not in headerless[:200]
     ours = jpeg_tpu.decode_jpeg(headerless, exact=True).to_pnm()
     assert ours == ref_decode(headerless) == ref_decode(jpg)
+
+
+def test_decode_stream_device_matches_per_frame():
+    import numpy as np
+
+    from jpeg_tpu import mjpeg
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                          restart_interval=2, exact=False)
+    frames = [encode_jpeg(make_ppm(48, 32, seed=30 + i), params) for i in range(3)]
+    px = np.asarray(mjpeg.decode_stream_device(b"".join(frames), chunk=2))
+    assert px.shape == (3, 32, 48, 3)
+    res = mjpeg.decode_stream(b"".join(frames), exact=True)
+    for i, img in enumerate(res.frames):
+        assert np.abs(px[i].astype(int) - img.pixels().astype(int)).max() <= 1
+
+
+def test_mjpeg_cli_roundtrip(tmp_path):
+    import subprocess
+    import sys as _sys
+
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+
+    params = EncodeParams(h=1, v=1, quality=80, optimize=False,
+                          restart_interval=2, exact=False)
+    frames = [encode_jpeg(make_ppm(32, 24, seed=40 + i), params) for i in range(2)]
+    src = tmp_path / "in.mjpg"
+    src.write_bytes(b"".join(frames))
+    out = tmp_path / "frames"
+    r = subprocess.run(
+        [_sys.executable, "-m", "jpeg_tpu.cli", "mjpeg", str(src), str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env=_cli_env(),
+    )
+    assert r.returncode == 0, r.stderr
+    assert sorted(p.name for p in out.iterdir()) == [
+        "frame_00000.ppm", "frame_00001.ppm"]
+
+
+def _cli_env():
+    import os
+
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    return env
