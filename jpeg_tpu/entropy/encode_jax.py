@@ -160,6 +160,8 @@ def pack_scan_segments_jax(
     seg_id,  # [N] int32 nondecreasing segment index per item
     n_segments: int,
     words_per_seg: int,
+    seg_bits=None,  # precomputed [n_segments] bit totals (skips the
+    #                 N-sized segment_sum when the caller knows them)
 ):
     """Segmented bit packing: one cumsum + two scatter-ADDs total.
 
@@ -168,7 +170,10 @@ def pack_scan_segments_jax(
     (words [n_segments, words_per_seg] uint32, seg_bits [n_segments]).
     """
     glob = jnp.cumsum(item_len) - item_len
-    seg_bits = jax.ops.segment_sum(item_len, seg_id, num_segments=n_segments)
+    if seg_bits is None:
+        seg_bits = jax.ops.segment_sum(
+            item_len, seg_id, num_segments=n_segments
+        )
     seg_start = jnp.cumsum(seg_bits) - seg_bits
     off = glob - seg_start[seg_id]
 
@@ -265,7 +270,10 @@ def _exclusive_cumsum(x):
     return c - x
 
 
-@partial(jax.jit, static_argnames=("n_segments", "words_per_seg", "items_cap"))
+@partial(
+    jax.jit,
+    static_argnames=("n_segments", "words_per_seg", "items_cap", "nz_cap"),
+)
 def encode_scan_device2(
     zz,  # [B, 64] int32 zig-zag blocks, DC already differential; row order
     #      is arbitrary ("natural") -- `order` gives the bitstream order
@@ -280,6 +288,10 @@ def encode_scan_device2(
     order=None,  # [B] int32: bitstream position -> zz row; None = identity.
     #      Per-block math runs in natural order; only the small [B] vectors
     #      permute, so no [B, 64] gather is ever materialized.
+    nz_cap: int = 63,  # static bound on nonzero AC coefficients per block:
+    #      the range-start mark scatter only attempts the first nz_cap
+    #      sorted columns (scatter cost ~ attempts).  Blocks with more
+    #      nonzeros raise the overflow flag; callers retry larger.
 ):
     """Scatter-minimal device entropy encode.
 
@@ -349,69 +361,94 @@ def encode_scan_device2(
     n_sym = 1 + nz_cum[:, -1] + eob.astype(jnp.int32)  # [B]
 
     # ---- compact item stream: inverse map via mark/cumsum --------------
+    # Per-item gathers dominate this stage (~10 ns/element on v5e), so
+    # per-block values are packed into THREE [B] tables read with one
+    # take each, block starts come from a cummax instead of take(base),
+    # and symbol-vs-ZRL classification uses the NEXT item's boundary
+    # flags (pure shifts) instead of a nz_cum gather.
     if order is None:
-        n_sym_v = n_sym  # bitstream order == natural order
+        order = jnp.arange(b, dtype=jnp.int32)
+        n_sym_v = n_sym
         base_nat = None
     else:
         n_sym_v = jnp.take(n_sym, order)
         inv_order = (
-            jnp.zeros(zz.shape[0], jnp.int32)
+            jnp.zeros(b, jnp.int32)
             .at[order]
-            .set(jnp.arange(zz.shape[0], dtype=jnp.int32))
+            .set(jnp.arange(b, dtype=jnp.int32))
         )
     base = _exclusive_cumsum(n_sym_v)  # [B] bitstream order
-    if order is None:
-        base_nat = base
-    else:
-        base_nat = jnp.take(base, inv_order)
+    base_nat = base if n_sym_v is n_sym else jnp.take(base, inv_order)
     total = base[-1] + n_sym_v[-1]
     overflow_items = total > items_cap
 
+    # Per-block packed tables ([B]-sized ops are cheap):
+    eob_v = jnp.take(eob, order)
+    dcv_v = jnp.take(dc, order)
+    dcat_v = encode_cat_jax(dcv_v)
+    dadj_v = jnp.where(dcv_v < 0, dcv_v - 1, dcv_v)
+    dext_v = (dadj_v & ((jnp.int32(1) << dcat_v) - 1)).astype(jnp.int32)
+    t_flat = order * 63  # flat row base into the sorted [B, 63] tables
+    t_meta = (
+        (((n_sym_v << 1) | eob_v.astype(jnp.int32)) << 3 | dc_tab) << 3
+        | ac_tab
+    ) << 17 | seg_of_block  # n_sym:7 | eob:1 | tabs:3+3 | seg:17
+    t_dc = (dcat_v << 17) | dext_v  # dcat:5 | dext:17
+
     mark = jnp.zeros(items_cap, jnp.int32).at[base].add(1, mode="drop")
     b_of = jnp.cumsum(mark) - 1  # [N] bitstream block position of each item
-    nat_of = b_of if order is None else jnp.take(order, b_of, mode="clip")
     i_iota = jnp.arange(items_cap, dtype=jnp.int32)
-    slot = i_iota - jnp.take(base, b_of, mode="clip")
+    startpos = jax.lax.cummax(jnp.where(mark > 0, i_iota, 0))
+    slot = i_iota - startpos
     item_valid = i_iota < total
+
+    flatbase = jnp.take(t_flat, b_of, mode="clip")
+    meta = jnp.take(t_meta, b_of, mode="clip")
+    dcpk = jnp.take(t_dc, b_of, mode="clip")
+    seg_id = meta & 0x1FFFF
+    ac_tab_i = (meta >> 17) & 7
+    dc_tab_i = (meta >> 20) & 7
+    eobf = (meta >> 23) & 1
+    n_sym_i = meta >> 24
+    dcat = dcpk >> 17
+    dext = dcpk & 0x1FFFF
 
     # second mark/cumsum INSIDE blocks: slot -> nonzero ordinal j.
     # nz j occupies slots [1 + nz_cum[j-1], 1 + nz_cum[j]); mark the start
     # of each nonzero's slot range in the compact stream.  (A gather-based
     # nonzero pre-compaction was tried to shrink this scatter's attempts
-    # and measured 2.4x SLOWER -- large-table gathers cost more per
-    # element on this target than mostly-invalid scatter attempts.)
+    # and measured no better -- its extra per-item gathers cost what the
+    # dropped scatter attempts saved.)
     nz_start_flat = jnp.where(
         nz_valid, base_nat[:, None] + (nz_slot_end - items_of_nz), items_cap
-    )
+    )[:, :nz_cap]
     markj = jnp.zeros(items_cap, jnp.int32).at[nz_start_flat.reshape(-1)].add(
         1, mode="drop"
     )
     cj = jnp.cumsum(markj)  # inclusive count of range starts
-    # Ranges started strictly before item i's block: base slots hold DC
-    # symbols (never range starts), so cj at the block base counts exactly
-    # the ranges of earlier blocks.
-    cj_at_base = jnp.take(cj, jnp.take(base, b_of, mode="clip"), mode="clip")
+    # cj at the block base counts exactly the ranges of earlier blocks
+    # (base slots hold DC symbols, never range starts); cj is
+    # nondecreasing so a masked cummax replaces a double gather.
+    cj_at_base = jax.lax.cummax(jnp.where(mark > 0, cj, 0))
     j_in_block = cj - cj_at_base - 1  # ordinal of the range item i is in
 
     is_dc = slot == 0
-    is_eob_slot = item_valid & (~is_dc) & (
-        (slot == (jnp.take(n_sym_v, b_of, mode="clip") - 1))
-        & jnp.take(eob, nat_of, mode="clip")
+    is_eob_slot = item_valid & (~is_dc) & (eobf == 1) & (slot == n_sym_i - 1)
+    # Within a range, the LAST slot is the (run,size) symbol; an item is
+    # that last slot iff the NEXT item opens a range, opens a block, is
+    # the EOB slot, or falls past the stream end.
+    nxt = jnp.concatenate([(mark + markj)[1:], jnp.ones(1, jnp.int32)])
+    next_boundary = (nxt > 0) | (i_iota + 1 >= total)
+    next_is_eob = (eobf == 1) & (slot + 1 == n_sym_i - 1)
+    is_sym_slot = (
+        item_valid & (~is_dc) & (~is_eob_slot) & (next_boundary | next_is_eob)
     )
-    # within a nonzero's range, the LAST slot is the symbol; earlier = ZRL
-    flatj = nat_of * 63 + jnp.clip(j_in_block, 0, 62)
-    end_of_j = 1 + jnp.take(nz_cum.reshape(-1), flatj, mode="clip")
-    is_sym_slot = item_valid & (~is_dc) & (~is_eob_slot) & (slot == end_of_j - 1)
 
+    flatj = flatbase + jnp.clip(j_in_block, 0, 62)
     pay_j = jnp.take(s_pay.reshape(-1), flatj, mode="clip")
     sym_j = (pay_j >> 21) & 0xFF
     cat_j = (pay_j >> 16) & 0x1F
     ext_j = pay_j & 0xFFFF
-
-    dcv = jnp.take(dc, nat_of, mode="clip")
-    dcat = encode_cat_jax(dcv)
-    dadj = jnp.where(dcv < 0, dcv - 1, dcv)
-    dext = (dadj & ((jnp.int32(1) << dcat) - 1)).astype(jnp.int32)
 
     sym = jnp.where(is_dc, dcat, jnp.where(is_eob_slot, 0,
                     jnp.where(is_sym_slot, sym_j, 0xF0)))
@@ -420,10 +457,7 @@ def encode_scan_device2(
 
     # ---- (code, size): one bf16 one-hot matmul, lo/hi split ------------
     T = ehufco.shape[0]
-    tab = jnp.where(
-        is_dc, jnp.take(dc_tab, b_of, mode="clip"),
-        jnp.take(ac_tab, b_of, mode="clip"),
-    )
+    tab = jnp.where(is_dc, dc_tab_i, ac_tab_i)
     iota256 = jnp.arange(256, dtype=jnp.int32)[None, :]
     oh = (sym[:, None] == iota256).astype(jnp.bfloat16)  # [N, 256]
     lo = (ehufco & 0xFF).astype(jnp.bfloat16).T  # [256, T]
@@ -448,12 +482,29 @@ def encode_scan_device2(
     item_len = jnp.where(item_valid, size + ext_l, 0)
 
     # ---- segmented bit pack --------------------------------------------
-    seg_id = jnp.take(seg_of_block, b_of, mode="clip")
+    # seg_bits from block-level sums (two [B] takes of the item cumsum)
+    # instead of an N-sized segment_sum.
     seg_id = jnp.where(item_valid, seg_id, n_segments - 1)
-    words, seg_bits = pack_scan_segments_jax(
-        item_val, item_len, seg_id, n_segments, words_per_seg
+    cum_incl = jnp.cumsum(item_len)
+    end_idx = jnp.clip(base + n_sym_v - 1, 0, items_cap - 1)
+    blk_bits = jnp.take(cum_incl, end_idx) - (
+        jnp.take(cum_incl, base) - jnp.take(item_len, base)
     )
-    overflow = overflow_items | (seg_bits > words_per_seg * 32 - 31).any()
+    seg_bits_b = jax.ops.segment_sum(
+        blk_bits, seg_of_block, num_segments=n_segments
+    )
+    words, seg_bits = pack_scan_segments_jax(
+        item_val, item_len, seg_id, n_segments, words_per_seg,
+        seg_bits=seg_bits_b,
+    )
+    # Overflow code: bit0 = items_cap, bit1 = words_per_seg, bit2 = nz_cap
+    # (callers grow only the bound that actually overflowed).
+    overflow = (
+        overflow_items.astype(jnp.int32)
+        | ((seg_bits > words_per_seg * 32 - 31).any().astype(jnp.int32) << 1)
+    )
+    if nz_cap < 63:
+        overflow = overflow | ((n_nz > nz_cap).any().astype(jnp.int32) << 2)
     return words, seg_bits, overflow, missing
 
 

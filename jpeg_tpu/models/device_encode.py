@@ -63,6 +63,7 @@ class _Shape:
     jax.jit,
     static_argnames=(
         "geom", "ri", "frames", "n_segments", "words_per_seg", "items_cap",
+        "nz_cap",
     ),
 )
 def _encode_device(
@@ -81,6 +82,7 @@ def _encode_device(
     n_segments: int,  # per frame
     words_per_seg: int,
     items_cap: int,
+    nz_cap: int = 63,
 ):
     f = pixels.shape[0]
     x = pixels.astype(jnp.float32)
@@ -147,6 +149,7 @@ def _encode_device(
         words_per_seg,
         items_cap,
         order=order_f,
+        nz_cap=nz_cap,
     )
 
 
@@ -176,6 +179,7 @@ class DeviceEncoder:
     ehufsi: np.ndarray
     words_per_seg: int
     items_per_block: int = 12  # sticky item-budget multiplier, grows on overflow
+    nz_cap: int = 24  # sticky per-block nonzero bound (mark-scatter width)
 
     @staticmethod
     def for_config(
@@ -309,10 +313,20 @@ class DeviceEncoder:
                 self.n_segments,
                 self.words_per_seg,
                 items_cap,
+                self.nz_cap,
             )
-            if not bool(overflow) or self.items_per_block >= 68:
+            code = int(overflow)
+            if not code:
                 break
-            self.items_per_block = min(68, self.items_per_block * 2)
+            grew = False
+            if code & 0b001 and self.items_per_block < 68:
+                self.items_per_block = min(68, self.items_per_block * 2)
+                grew = True
+            if code & 0b100 and self.nz_cap < 63:
+                self.nz_cap = min(63, self.nz_cap * 2)
+                grew = True
+            if not grew:
+                break
         if bool(missing):
             raise UnsupportedError(
                 "a symbol has no code in the default Huffman tables "
