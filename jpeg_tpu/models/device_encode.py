@@ -187,12 +187,22 @@ class DeviceEncoder:
         width: int,
         components: int = 3,
         params: Optional[EncodeParams] = None,
+        htables: Optional[dict] = None,
     ) -> "DeviceEncoder":
+        """Build the compiled stream encoder.
+
+        ``htables`` optionally supplies fixed Huffman table specs
+        ({(class, id): HuffSpec}) shared by every frame -- e.g. tables
+        optimized on a representative frame (``tables_for_stream``), the
+        MJPEG streaming analog of the reference's per-image two-pass
+        optimizer.  Default: the implicit Annex K.3 (MJPEG) tables.
+        """
         params = params or EncodeParams(h=2, v=2, optimize=False, exact=False)
         if params.optimize:
             raise UnsupportedError(
-                "DeviceEncoder streams with shared default tables; use "
-                "encode_jpeg for per-image optimized tables"
+                "DeviceEncoder streams with shared tables; pass per-stream "
+                "optimized specs via htables= (see tables_for_stream) or "
+                "use encode_jpeg for per-image optimized tables"
             )
         if not params.restart_interval:
             raise UnsupportedError(
@@ -243,7 +253,10 @@ class DeviceEncoder:
         for ta in info.ta:
             if (1, ta) not in keys:
                 keys.append((1, ta))
-        tables = {k: derive_table(HuffSpec.from_pair(DEFAULT_HTABLES[k])) for k in keys}
+        specs = {k: HuffSpec.from_pair(v) for k, v in DEFAULT_HTABLES.items()}
+        if htables:
+            specs.update(htables)
+        tables = {k: derive_table(specs[k]) for k in keys}
         tmap = {k: i for i, k in enumerate(keys)}
         ehufco = np.stack([tables[k].ehufco for k in keys]).astype(np.int32)
         ehufsi = np.stack([tables[k].ehufsi for k in keys]).astype(np.int32)
@@ -260,7 +273,6 @@ class DeviceEncoder:
         if geom.nf > 1:
             hdr += emit.emit_dqt(qtables[1].astype(np.uint16), 1)
         hdr += emit.emit_sof0(geom)
-        specs = {k: HuffSpec.from_pair(v) for k, v in DEFAULT_HTABLES.items()}
         hdr += emit.emit_dht(specs[(0, 0)], 0, 0)
         hdr += emit.emit_dht(specs[(1, 0)], 1, 0)
         if geom.nf > 1:
@@ -286,6 +298,51 @@ class DeviceEncoder:
             ehufsi=ehufsi,
             words_per_seg=(max_blocks_per_seg * 68 * 31) // 32 + 2,
         )
+
+    @staticmethod
+    def tables_for_stream(sample_pnm: bytes, params: EncodeParams) -> dict:
+        """Optimize Huffman tables on a representative frame (host
+        two-pass, Annex K.2) for use as a stream's fixed ``htables`` --
+        smaller output than the MJPEG defaults at zero per-frame cost."""
+        from ..encoder import geometry_for_image
+        from ..entropy.encode import histogram, symbolize_scan
+        from ..models.pipeline import encode_frame
+        from ..tables import optimize_table
+        from ..utils.pnm import read_pnm
+
+        probe = read_pnm(sample_pnm)
+        geom = geometry_for_image(probe, params)
+        img = read_pnm(sample_pnm, pad_to=(8 * geom.max_v, 8 * geom.max_h))
+        qtables = np.ones((4, 64), dtype=np.int32)
+        qtables[0] = scale_qtable(STD_LUMINANCE_QUANT, params.quality)
+        qtables[1] = scale_qtable(STD_CHROMINANCE_QUANT, params.quality)
+        planes = encode_frame(img.data, geom, qtables, exact=False)
+        planes = {cid: np.asarray(p) for cid, p in planes.items()}
+        comps = sorted(geom.components, key=lambda c: c.cid)
+        info = ScanInfo(
+            component_ids=tuple(c.cid for c in comps),
+            td=tuple(c.td for c in comps),
+            ta=tuple(c.ta for c in comps),
+        )
+        symbols = symbolize_scan(planes, geom, info, params.restart_interval)
+        out = {}
+        for k, counts in histogram(symbols).items():
+            counts = counts.copy()
+            # Seed every symbol later frames could legally need (the
+            # sample frame may not exercise them): DC categories 0..11,
+            # AC EOB/ZRL and (run, size) for size 1..10 -- the standard
+            # baseline symbol set.  Negligible code-length cost, total
+            # robustness for the fixed-table stream.
+            if k[0] == 0:
+                counts[:12] += 1
+            else:
+                counts[0x00] += 1
+                counts[0xF0] += 1
+                for r in range(16):
+                    for s in range(1, 11):
+                        counts[(r << 4) | s] += 1
+            out[k] = optimize_table(counts)
+        return out
 
     def encode_batch(self, pixels) -> List[bytes]:
         """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes."""

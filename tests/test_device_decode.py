@@ -101,3 +101,17 @@ def test_device_batch_12bit():
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_batch_starve_retry():
+    """An undersized step bound must starve, retry, and learn."""
+    params = EncodeParams(h=2, v=2, quality=90, restart_interval=8,
+                          optimize=False, exact=False)
+    jpegs = [encode_jpeg(make_ppm(64, 48, seed=120 + i), params) for i in range(2)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    dec.max_steps = 128  # far below what q90 ri=8 content needs
+    batch = np.asarray(dec.decode_batch(jpegs))
+    assert dec.max_steps > 128  # grew and stuck
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1

@@ -94,3 +94,28 @@ def test_device_encode_roundtrips_through_device_decoder():
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(out[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_encode_stream_optimized_tables():
+    """Fixed per-stream optimized tables: smaller output, decodes the
+    same, round-trips through the reference decoder."""
+    params = EncodeParams(h=2, v=2, quality=80, optimize=False,
+                          restart_interval=3, exact=False)
+    ppms = [make_ppm(96, 72, seed=130 + s) for s in range(3)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    tables = DeviceEncoder.tables_for_stream(ppms[0], params)
+    enc_opt = DeviceEncoder.for_config(72, 96, 3, params, htables=tables)
+    enc_def = DeviceEncoder.for_config(72, 96, 3, params)
+    outs_opt = enc_opt.encode_batch(pix)
+    outs_def = enc_def.encode_batch(pix)
+    assert sum(map(len, outs_opt)) < sum(map(len, outs_def))
+    for o in outs_opt:
+        assert ref_decode(o) == jpeg_tpu.decode_jpeg(o).to_pnm()
+    # the optimized stream feeds the batch decoder (shared tables)
+    from jpeg_tpu.models.device_decode import DeviceDecoder
+
+    dec = DeviceDecoder.for_stream(outs_opt[0])
+    px = np.asarray(dec.decode_batch(outs_opt, chunk=2))
+    for i in range(3):
+        golden = jpeg_tpu.decode_jpeg(outs_opt[i], exact=True).pixels()
+        assert np.abs(px[i].astype(int) - golden.astype(int)).max() <= 1
