@@ -85,7 +85,10 @@ def _decode_impl(
     maxval = (1 << geom.precision) - 1
     px = jnp.clip(roundf(rgb), 0, maxval)
     px = px.astype(jnp.uint8 if geom.precision <= 8 else jnp.uint16)
-    return px[:, : geom.height, : geom.width, :], starved
+    # Drop the dummy K channel of YCCK frames (write_frame semantics,
+    # frame.c:548-567): deliverable is RGB (or one gray channel).
+    nch = 3 if geom.nf >= 3 else 1
+    return px[:, : geom.height, : geom.width, :nch], starved
 
 
 @partial(

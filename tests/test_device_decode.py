@@ -115,3 +115,45 @@ def test_device_batch_starve_retry():
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_batch_ycck():
+    """4-component YCCK/Adobe stream with restart markers through the
+    batched device decoder (CMYK inversion runs on-device)."""
+    from test_crafted_streams import _emit_header, _rand_planes, _tables
+    from jpeg_tpu.constants import (
+        STD_CHROMINANCE_QUANT, STD_LUMINANCE_QUANT, scale_qtable,
+    )
+    from jpeg_tpu.entropy.encode import pack_scan, symbolize_scan
+    from jpeg_tpu.format import emit
+    from jpeg_tpu.geometry import Component, FrameGeometry, ScanInfo, with_block_grid
+
+    geom = with_block_grid(
+        FrameGeometry(
+            precision=8, height=24, width=32,
+            components=tuple(
+                Component(cid=i, h=1, v=1, tq=0 if i in (1, 4) else 1,
+                          td=0 if i in (1, 4) else 1, ta=0 if i in (1, 4) else 1)
+                for i in (1, 2, 3, 4)
+            ),
+        )
+    )
+    qtables = np.ones((4, 64), dtype=np.uint16)
+    qtables[0] = scale_qtable(STD_LUMINANCE_QUANT, 85)
+    qtables[1] = scale_qtable(STD_CHROMINANCE_QUANT, 85)
+    planes = _rand_planes(geom, seed=52, dc_range=120, ac_range=12)
+    info = ScanInfo(component_ids=(1, 2, 3, 4), td=(0, 1, 1, 0), ta=(0, 1, 1, 0))
+    syms = symbolize_scan(planes, geom, info, restart_interval=3)
+    segs = pack_scan(syms, _tables(), restart_interval=3)
+    jpg = bytes(
+        _emit_header(geom, qtables) + emit.emit_dri(3) + emit.emit_sos(info)
+        + emit.emit_scan_body(segs) + emit.emit_eoi()
+    )
+    golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+    assert ref_decode(jpg) == jpeg_tpu.decode_jpeg(jpg, exact=True).to_pnm()
+
+    dec = DeviceDecoder.for_stream(jpg)
+    batch = np.asarray(dec.decode_batch([jpg, jpg]))
+    assert batch.shape == (2, 24, 32, 3)  # K folded into RGB on-device
+    for i in range(2):
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
