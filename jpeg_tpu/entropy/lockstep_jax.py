@@ -1,22 +1,28 @@
-"""JAX/TPU lockstep entropy decoder (scan + one-hot engine).
+"""JAX/TPU lockstep entropy decoder (scalarized scan engine).
 
 The accelerator port of ``lockstep.py``.  All ECS segments decode
-simultaneously, one Huffman symbol per lane per step.  The TPU mapping is
-driven by two measured facts about this hardware (see memory/bench notes):
+simultaneously, one Huffman symbol per lane per step.  The TPU mapping
+(measured rules in docs/ARCHITECTURE.md):
 
-  * per-lane dynamic gathers (take_along_axis) cost ~350us/step -- every
-    data-dependent load is therefore a ONE-HOT masked reduction (VPU) or
-    a one-hot matmul (MXU), never a gather;
-  * loop iterations with HBM-carried state cost ~100us regardless of
-    body size -- the loop is ``lax.scan`` with ``unroll`` so several
-    symbol steps amortize one iteration, and emissions leave the loop as
-    scan ys (no loop-carried emission buffers at all).
+  * the scan body is SCALARIZED -- every intermediate is an [S] vector
+    (2-D one-hot matrices pad their minor dim to 128 lanes and become
+    HBM round trips); small constant axes are unrolled select chains
+    with plan tables folded in as HLO constants; only the huffval lookup
+    keeps a 2-D one-hot (an MXU bf16 matmul);
+  * the 32-bit bit window rides in the carry and refills with one
+    word-select loop per step (a symbol crosses at most one boundary);
+  * TPU scatter costs ~8 ns per attempted update, so decode emits ONE
+    (key, value) stream: AC coefficients on their step, each block's
+    final DC via a one-step-delayed pending emission that always lands
+    on a free slot;
+  * loop iterations with HBM-carried state cost ~100us flat --
+    ``lax.scan`` + ``unroll`` + emissions-as-ys amortize it.
 
 Correctness contract (shared with the NumPy engine and the C++ kernel):
-segments are independent (T.81 resets DC prediction at RST markers); DC
-is emitted as the raw diff at DC time plus an order-independent
-scatter-ADD of the predictor at block completion; global placement uses
-an exclusive prefix-sum of per-segment MCU counts.
+segments are independent (T.81 resets DC prediction at RST markers);
+global placement uses an exclusive prefix-sum of per-segment MCU counts.
+The broadcast-style ``_symbol_step`` is retained for the experimental
+Pallas kernel, which shares its math.
 """
 
 from __future__ import annotations
@@ -411,7 +417,6 @@ def decode_scan_device(
     With frames > 1, lanes are grouped per frame (segs_per_frame each) and
     MCU prefix sums reset per frame -- the Motion-JPEG batch path.
     """
-    k = _plan_consts(plan)
     S = words.shape[0]
     spf = segs_per_frame or S
     words_t = words.T  # [Wn, S]: refill loop reads contiguous rows
@@ -447,13 +452,13 @@ def decode_scan_device(
     # step bound was too small and must retry with a larger one.
     starved = carry[1].any()
     coeffs = _place_emissions(
-        plan, k, mcu_counts, [(em_key, em_val)], frames, spf, total_blocks,
+        plan, mcu_counts, [(em_key, em_val)], frames, spf, total_blocks,
     )
     return mcu_counts, coeffs, starved
 
 
 def _place_emissions(
-    plan, k, mcu_counts, streams, frames, spf, total_blocks,
+    plan, mcu_counts, streams, frames, spf, total_blocks,
 ):
     """Global placement: prefix-sum of per-lane MCU counts + flat scatters.
 

@@ -35,7 +35,6 @@ from .lockstep import ScanPlan
 from .lockstep_jax import (
     _iota_row,
     _place_emissions,
-    _plan_consts,
     _symbol_step,
 )
 
@@ -214,9 +213,8 @@ def decode_scan_device_pallas(
     )
     counts = counts_p[:s]
     starved = alive[:s].any()
-    k = _plan_consts(plan)
     coeffs = _place_emissions(
-        plan, k, counts,
+        plan, counts,
         [(em_key[:, :s], em_val[:, :s]), (ad_key[:, :s], ad_val[:, :s])],
         frames, spf, total_blocks,
     )

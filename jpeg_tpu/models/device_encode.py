@@ -188,6 +188,7 @@ class DeviceEncoder:
         components: int = 3,
         params: Optional[EncodeParams] = None,
         htables: Optional[dict] = None,
+        precision: int = 8,
     ) -> "DeviceEncoder":
         """Build the compiled stream encoder.
 
@@ -209,7 +210,8 @@ class DeviceEncoder:
                 "DeviceEncoder needs a restart interval (the parallel axis)"
             )
         geom = geometry_for_image(
-            _Shape(components, 8, height, width), params  # type: ignore[arg-type]
+            _Shape(components, precision, height, width),  # type: ignore[arg-type]
+            params,
         )
         comps = sorted(geom.components, key=lambda c: c.cid)
         info = ScanInfo(
@@ -325,21 +327,23 @@ class DeviceEncoder:
             ta=tuple(c.ta for c in comps),
         )
         symbols = symbolize_scan(planes, geom, info, params.restart_interval)
+        # Seed every symbol later frames could legally need (the sample
+        # frame may not exercise them): DC categories up to 11 (8-bit) /
+        # 15 (12-bit), AC EOB/ZRL and (run, size) up to size 10/14 --
+        # the baseline symbol sets per T.81.  Negligible code-length
+        # cost, total robustness for the fixed-table stream.
+        dc_cats = 12 if probe.precision <= 8 else 16
+        ac_size = 10 if probe.precision <= 8 else 14
         out = {}
         for k, counts in histogram(symbols).items():
             counts = counts.copy()
-            # Seed every symbol later frames could legally need (the
-            # sample frame may not exercise them): DC categories 0..11,
-            # AC EOB/ZRL and (run, size) for size 1..10 -- the standard
-            # baseline symbol set.  Negligible code-length cost, total
-            # robustness for the fixed-table stream.
             if k[0] == 0:
-                counts[:12] += 1
+                counts[:dc_cats] += 1
             else:
                 counts[0x00] += 1
                 counts[0xF0] += 1
                 for r in range(16):
-                    for s in range(1, 11):
+                    for s in range(1, ac_size + 1):
                         counts[(r << 4) | s] += 1
             out[k] = optimize_table(counts)
         return out

@@ -119,3 +119,24 @@ def test_device_encode_stream_optimized_tables():
     for i in range(3):
         golden = jpeg_tpu.decode_jpeg(outs_opt[i], exact=True).pixels()
         assert np.abs(px[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_encode_12bit_with_stream_tables():
+    """12-bit streaming encode: impossible with the default tables (the
+    reference encoder fails too), works with per-stream optimized tables
+    seeded for the 12-bit symbol range."""
+    params = EncodeParams(h=2, v=1, quality=85, optimize=False,
+                          restart_interval=2, exact=False)
+    ppms = [make_ppm(48, 32, seed=140 + s, maxval=4095) for s in range(2)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint16)
+    tables = DeviceEncoder.tables_for_stream(ppms[0], params)
+    enc = DeviceEncoder.for_config(32, 48, 3, params, htables=tables,
+                                   precision=12)
+    outs = enc.encode_batch(pix)
+    for o, p in zip(outs, ppms):
+        # our decoder agrees with the reference decoder bit-exactly
+        assert ref_decode(o) == jpeg_tpu.decode_jpeg(o, exact=True).to_pnm()
+        # and the pixels round-trip close to the source
+        src = read_pnm(p).data[..., :3]
+        dec = jpeg_tpu.decode_jpeg(o, exact=True).pixels()
+        assert np.abs(dec.astype(int) - src.astype(int)).mean() < 64
