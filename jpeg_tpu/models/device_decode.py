@@ -290,24 +290,33 @@ class DeviceDecoder:
         a starved chunk (rare: the step bound is learned per stream)
         re-runs with the next larger bound.
         """
+        from ..utils.metrics import default_metrics, trace
+
         n = len(jpegs)
         if chunk <= 0 or n <= chunk:
             chunks = [(0, n)]
         else:
             chunks = [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
-        flight = []
-        for lo, hi in chunks:
-            prepared = self.prepare(jpegs[lo:hi])
-            out, starved, steps = self._decode_prepared(prepared, hi - lo)
-            flight.append([out, starved, steps, prepared, hi - lo])
-        for rec in flight:  # lazy starvation sweep (syncs only here)
-            while bool(rec[1]):
-                nb64 = rec[3][3].astype(np.int64)
-                hard_cap = _max_steps_for(nb64, self.plan, self.ri, optimistic=False)
-                if rec[2] >= hard_cap:
-                    break
-                self.max_steps = _grow_steps(rec[2], hard_cap)
-                rec[0], rec[1], rec[2] = self._decode_prepared(rec[3], rec[4])
-            self.max_steps = max(self.max_steps, rec[2])
-        outs = [rec[0] for rec in flight]
-        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        px = n * self.geom.height * self.geom.width
+        with default_metrics.stage("device_decode.batch", items=px):
+            flight = []
+            for lo, hi in chunks:
+                with trace("device_decode.prepare"):
+                    prepared = self.prepare(jpegs[lo:hi])
+                with trace("device_decode.dispatch"):
+                    out, starved, steps = self._decode_prepared(prepared, hi - lo)
+                flight.append([out, starved, steps, prepared, hi - lo])
+            for rec in flight:  # lazy starvation sweep (syncs only here)
+                while bool(rec[1]):
+                    default_metrics.count("device_decode.starve_retries")
+                    nb64 = rec[3][3].astype(np.int64)
+                    hard_cap = _max_steps_for(
+                        nb64, self.plan, self.ri, optimistic=False
+                    )
+                    if rec[2] >= hard_cap:
+                        break
+                    self.max_steps = _grow_steps(rec[2], hard_cap)
+                    rec[0], rec[1], rec[2] = self._decode_prepared(rec[3], rec[4])
+                self.max_steps = max(self.max_steps, rec[2])
+            outs = [rec[0] for rec in flight]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

@@ -353,6 +353,17 @@ class DeviceEncoder:
         frames = int(pixels.shape[0])
         if pixels.ndim != 4:
             raise UnsupportedError("encode_batch wants [F, H, W, C]")
+        from ..utils.metrics import default_metrics
+
+        with default_metrics.stage(
+            "device_encode.batch",
+            items=frames * self.geom.height * self.geom.width,
+        ):
+            return self._encode_batch_inner(pixels, frames)
+
+    def _encode_batch_inner(self, pixels, frames: int) -> List[bytes]:
+        from ..utils.metrics import default_metrics
+
         nb = self.visit_src.size * frames
         while True:
             raw = nb * self.items_per_block
@@ -379,6 +390,7 @@ class DeviceEncoder:
             code = int(overflow)
             if not code:
                 break
+            default_metrics.count("device_encode.cap_retries")
             grew = False
             if code & 0b001 and self.items_per_block < 68:
                 self.items_per_block = min(68, self.items_per_block * 2)

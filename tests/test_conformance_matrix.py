@@ -95,3 +95,14 @@ def test_matrix_restart_interval(mode, h, v):
                 pytest.skip(f"native backend unavailable: {e}")
             raise
         assert out == golden, backend
+
+
+@pytest.mark.parametrize("q", [1, 10, 25, 50, 75, 90, 95, 100])
+def test_quality_sweep_byte_identical(q):
+    """BASELINE.json config: quality sweep -- encode byte-identity and
+    decode bit-exactness hold across the quality range."""
+    pnm = make_ppm(48, 32, seed=200 + q)
+    params = EncodeParams(h=2, v=2, quality=q, optimize=True)
+    ours = encode_jpeg(pnm, params)
+    assert ours == ref_encode(pnm, h=2, v=2, q=q, optimize=1)
+    assert jpeg_tpu.decode_jpeg(ours).to_pnm() == ref_decode(ours)
