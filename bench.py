@@ -152,7 +152,9 @@ def main() -> None:
     jpeg_tpu.decode_jpeg(jpegs[1], exact=False)
     dt = time.perf_counter() - t0
     log(f"decode-to-host (native entropy + device dense): "
-        f"{WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s/frame")
+        f"{WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s/frame "
+        f"[bounded by this dev host's ~25 MB/s device tunnel; "
+        f"PCIe-attached hosts move the same pixels ~100x faster]")
 
     print(
         json.dumps(

@@ -229,6 +229,11 @@ class DeviceDecoder:
                     "batch decoder compiles tables in; re-encode with shared "
                     "(e.g. default MJPEG) tables or decode per-frame"
                 )
+            if cs.geometry != self.geom:
+                raise UnsupportedError(
+                    "frame geometry differs from the stream's -- the batch "
+                    "decoder compiles geometry in; decode per-frame instead"
+                )
             seg_bytes, seg_offsets = unstuff_ranges(data, scan.ecs_ranges)
             lens = np.diff(seg_offsets)
             if lens.size != self.segs_per_frame:

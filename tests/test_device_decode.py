@@ -157,3 +157,18 @@ def test_device_batch_ycck():
     assert batch.shape == (2, 24, 32, 3)  # K folded into RGB on-device
     for i in range(2):
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_device_batch_rejects_mixed_geometry():
+    """Frames of a different size must raise, not silently corrupt."""
+    from jpeg_tpu.errors import UnsupportedError
+
+    params = EncodeParams(h=2, v=2, quality=75, restart_interval=2,
+                          optimize=False, exact=False)
+    a = encode_jpeg(make_ppm(64, 48, seed=1), params)
+    b = encode_jpeg(make_ppm(48, 32, seed=2), params)
+    dec = DeviceDecoder.for_stream(a)
+    dec.header = b""  # force the generic parser path (fast path already
+    # rejects via header byte-identity)
+    with pytest.raises(UnsupportedError):
+        dec.decode_batch([a, b])
