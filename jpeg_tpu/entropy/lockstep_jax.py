@@ -37,7 +37,7 @@ import numpy as np
 from ..constants import ZIGZAG
 from ..geometry import FrameGeometry, ScanInfo
 from ..tables import HuffTable, derive_table
-from .lockstep import ScanPlan, _pad_segments, build_scan_plan
+from .lockstep import ScanPlan, build_scan_plan
 
 UNROLL = 8
 

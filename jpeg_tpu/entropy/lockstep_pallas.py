@@ -22,8 +22,6 @@ production path; revisit on a local TPU toolchain.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ from ..entropy.lockstep_jax import (
     decode_scan_device,
 )
 from ..errors import UnsupportedError
-from ..format.parse import Codestream, parse_codestream, unstuff, unstuff_ranges
+from ..format.parse import parse_codestream, unstuff, unstuff_ranges
 from ..geometry import FrameGeometry
 from ..models.batch import decode_blocks_batch
 from ..ops.color import to_rgb

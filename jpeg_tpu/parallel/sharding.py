@@ -18,7 +18,7 @@ region.  Documented as not-applicable per SURVEY §2.2.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,8 +94,6 @@ def make_sharded_stream_decoder(
     ``decode(words [F*spf, Wn], nbits [F*spf], qtables) ->
     (pixels sharded P('frame'), starved [frame_axis])``.
     """
-    from functools import partial as _partial
-
     from jax.experimental.shard_map import shard_map
 
     from ..models.device_decode import _decode_impl

@@ -12,8 +12,8 @@ import contextlib
 import os
 import time
 from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List
+from dataclasses import dataclass
+from typing import Dict, Iterator
 
 
 @dataclass
