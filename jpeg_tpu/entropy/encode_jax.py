@@ -270,7 +270,9 @@ def _exclusive_cumsum(x):
 
 @partial(
     jax.jit,
-    static_argnames=("n_segments", "words_per_seg", "items_cap", "nz_cap"),
+    static_argnames=(
+        "n_segments", "words_per_seg", "items_cap", "nz_cap", "with_hist",
+    ),
 )
 def encode_scan_device2(
     zz,  # [B, 64] int32 zig-zag blocks, DC already differential; row order
@@ -290,6 +292,9 @@ def encode_scan_device2(
     #      the range-start mark scatter only attempts the first nz_cap
     #      sorted columns (scatter cost ~ attempts).  Blocks with more
     #      nonzeros raise the overflow flag; callers retry larger.
+    with_hist: bool = False,  # also return the per-table symbol histogram
+    #      (the dry pass of the K.2 optimizer, encoder.c:525-558) as one
+    #      MXU reduction over the compact item stream.
 ):
     """Scatter-minimal device entropy encode.
 
@@ -479,6 +484,18 @@ def encode_scan_device2(
                 | ext_v.astype(jnp.uint32)).astype(jnp.int32)
     item_len = jnp.where(item_valid, size + ext_l, 0)
 
+    hist = None
+    if with_hist:
+        # Per-table symbol frequencies as one f32 matmul over the already
+        # built one-hot: hist[k, t] = sum_i oh[i, k] * [tab_i == t & valid].
+        tab_oh = (
+            (tab[:, None] == jnp.arange(T, dtype=jnp.int32)[None, :])
+            & item_valid[:, None]
+        ).astype(jnp.bfloat16)
+        hist = jnp.dot(
+            oh.T, tab_oh, preferred_element_type=jnp.float32
+        ).T.astype(jnp.int32)  # [T, 256]
+
     # ---- segmented bit pack --------------------------------------------
     # seg_bits from block-level sums (two [B] takes of the item cumsum)
     # instead of an N-sized segment_sum.
@@ -503,6 +520,8 @@ def encode_scan_device2(
     )
     if nz_cap < 63:
         overflow = overflow | ((n_nz > nz_cap).any().astype(jnp.int32) << 2)
+    if with_hist:
+        return words, seg_bits, overflow, missing, hist
     return words, seg_bits, overflow, missing
 
 

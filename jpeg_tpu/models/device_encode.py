@@ -63,7 +63,7 @@ class _Shape:
     jax.jit,
     static_argnames=(
         "geom", "ri", "frames", "n_segments", "words_per_seg", "items_cap",
-        "nz_cap",
+        "nz_cap", "with_hist",
     ),
 )
 def _encode_device(
@@ -83,6 +83,7 @@ def _encode_device(
     words_per_seg: int,
     items_cap: int,
     nz_cap: int = 63,
+    with_hist: bool = False,
 ):
     f = pixels.shape[0]
     x = pixels.astype(jnp.float32)
@@ -150,7 +151,26 @@ def _encode_device(
         items_cap,
         order=order_f,
         nz_cap=nz_cap,
+        with_hist=with_hist,
     )
+
+
+def _build_header(geom, qtables, specs, ri, info) -> bytes:
+    """SOI..SOS marker bytes for the given qtables/Huffman specs."""
+    hdr = bytearray()
+    hdr += emit.emit_soi()
+    hdr += emit.emit_dqt(qtables[0].astype(np.uint16), 0)
+    if geom.nf > 1:
+        hdr += emit.emit_dqt(qtables[1].astype(np.uint16), 1)
+    hdr += emit.emit_sof0(geom)
+    hdr += emit.emit_dht(specs[(0, 0)], 0, 0)
+    hdr += emit.emit_dht(specs[(1, 0)], 1, 0)
+    if geom.nf > 1:
+        hdr += emit.emit_dht(specs[(0, 1)], 0, 1)
+        hdr += emit.emit_dht(specs[(1, 1)], 1, 1)
+    hdr += emit.emit_dri(ri)
+    hdr += emit.emit_sos(info)
+    return bytes(hdr)
 
 
 @dataclass
@@ -180,6 +200,7 @@ class DeviceEncoder:
     words_per_seg: int
     items_per_block: int = 12  # sticky item-budget multiplier, grows on overflow
     nz_cap: int = 24  # sticky per-block nonzero bound (mark-scatter width)
+    table_keys: tuple = ()  # (class, id) per stacked code-table row
 
     @staticmethod
     def for_config(
@@ -269,19 +290,7 @@ class DeviceEncoder:
         qtables[0] = scale_qtable(STD_LUMINANCE_QUANT, params.quality)
         qtables[1] = scale_qtable(STD_CHROMINANCE_QUANT, params.quality)
 
-        hdr = bytearray()
-        hdr += emit.emit_soi()
-        hdr += emit.emit_dqt(qtables[0].astype(np.uint16), 0)
-        if geom.nf > 1:
-            hdr += emit.emit_dqt(qtables[1].astype(np.uint16), 1)
-        hdr += emit.emit_sof0(geom)
-        hdr += emit.emit_dht(specs[(0, 0)], 0, 0)
-        hdr += emit.emit_dht(specs[(1, 0)], 1, 0)
-        if geom.nf > 1:
-            hdr += emit.emit_dht(specs[(0, 1)], 0, 1)
-            hdr += emit.emit_dht(specs[(1, 1)], 1, 1)
-        hdr += emit.emit_dri(ri)
-        hdr += emit.emit_sos(info)
+        hdr = _build_header(geom, qtables, specs, ri, info)
 
         max_blocks_per_seg = int(np.bincount(seg_of).max())
         return DeviceEncoder(
@@ -290,7 +299,7 @@ class DeviceEncoder:
             ri=ri,
             n_segments=n_segments,
             qtables=qtables,
-            header=bytes(hdr),
+            header=hdr,
             visit_src=visit_src.astype(np.int32),
             prev_idx=prev_idx.astype(np.int32),
             dc_tab=td_arr[comp_idx].astype(np.int32),
@@ -299,6 +308,7 @@ class DeviceEncoder:
             ehufco=ehufco,
             ehufsi=ehufsi,
             words_per_seg=(max_blocks_per_seg * 68 * 31) // 32 + 2,
+            table_keys=tuple(keys),
         )
 
     @staticmethod
@@ -348,8 +358,16 @@ class DeviceEncoder:
             out[k] = optimize_table(counts)
         return out
 
-    def encode_batch(self, pixels) -> List[bytes]:
-        """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes."""
+    def encode_batch(self, pixels, optimize: bool = False) -> List[bytes]:
+        """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes.
+
+        ``optimize=True`` runs the two-pass Annex-K.2 optimization fully
+        on the accelerator: pass 1 reduces the batch's symbol histogram
+        with one MXU matmul (the psum analog of write_ecs_dry,
+        encoder.c:525-558), the host derives per-BATCH optimal tables,
+        pass 2 re-encodes -- the code tables are traced inputs, so both
+        passes reuse compiled executables.
+        """
         frames = int(pixels.shape[0])
         if pixels.ndim != 4:
             raise UnsupportedError("encode_batch wants [F, H, W, C]")
@@ -359,9 +377,10 @@ class DeviceEncoder:
             "device_encode.batch",
             items=frames * self.geom.height * self.geom.width,
         ):
-            return self._encode_batch_inner(pixels, frames)
+            return self._encode_batch_inner(pixels, frames, optimize)
 
-    def _encode_batch_inner(self, pixels, frames: int) -> List[bytes]:
+    def _run(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
+        """One device encode with the sticky-capacity retry loop."""
         from ..utils.metrics import default_metrics
 
         nb = self.visit_src.size * frames
@@ -369,7 +388,7 @@ class DeviceEncoder:
             raw = nb * self.items_per_block
             quant = 8192 if raw < 262144 else 65536
             items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
-            words, seg_bits, overflow, missing = _encode_device(
+            res = _encode_device(
                 jnp.asarray(pixels),
                 jnp.asarray(self.qtables),
                 jnp.asarray(self.visit_src),
@@ -377,8 +396,8 @@ class DeviceEncoder:
                 jnp.asarray(self.dc_tab),
                 jnp.asarray(self.ac_tab),
                 jnp.asarray(self.seg_of),
-                jnp.asarray(self.ehufco),
-                jnp.asarray(self.ehufsi),
+                jnp.asarray(ehufco),
+                jnp.asarray(ehufsi),
                 self.geom,
                 self.ri,
                 frames,
@@ -386,10 +405,11 @@ class DeviceEncoder:
                 self.words_per_seg,
                 items_cap,
                 self.nz_cap,
+                with_hist,
             )
-            code = int(overflow)
+            code = int(res[2])
             if not code:
-                break
+                return res
             default_metrics.count("device_encode.cap_retries")
             grew = False
             if code & 0b001 and self.items_per_block < 68:
@@ -399,18 +419,47 @@ class DeviceEncoder:
                 self.nz_cap = min(63, self.nz_cap * 2)
                 grew = True
             if not grew:
-                break
+                return res
+
+    def _encode_batch_inner(self, pixels, frames: int, optimize: bool) -> List[bytes]:
+        ehufco, ehufsi, header = self.ehufco, self.ehufsi, self.header
+        if optimize:
+            from ..tables import optimize_table
+
+            hist = np.asarray(
+                self._run(pixels, frames, ehufco, ehufsi, True)[4]
+            )
+            specs = dict(
+                (k, HuffSpec.from_pair(v)) for k, v in DEFAULT_HTABLES.items()
+            )
+            tables = {}
+            for i, key in enumerate(self.table_keys):
+                specs[key] = optimize_table(hist[i])
+                tables[key] = derive_table(specs[key])
+            ehufco = np.stack(
+                [tables[k].ehufco for k in self.table_keys]
+            ).astype(np.int32)
+            ehufsi = np.stack(
+                [tables[k].ehufsi for k in self.table_keys]
+            ).astype(np.int32)
+            header = _build_header(
+                self.geom, self.qtables, specs, self.ri, self.info
+            )
+        words, seg_bits, _, missing = self._run(
+            pixels, frames, ehufco, ehufsi, False
+        )
         if bool(missing):
             raise UnsupportedError(
-                "a symbol has no code in the default Huffman tables "
-                "(content exceeds table range; use encode_jpeg optimize=True)"
+                "a symbol has no code in the selected Huffman tables "
+                "(content exceeds table range; use optimize=True)"
             )
         seg_bits = np.asarray(seg_bits)
         w_used = max(1, int((seg_bits.max() + 31) // 32))
         words_h = np.asarray(words[:, :w_used])  # device slice, then download
-        return self._finalize(words_h, seg_bits, frames)
+        return self._finalize(words_h, seg_bits, frames, header)
 
-    def _finalize(self, words: np.ndarray, seg_bits: np.ndarray, frames: int):
+    def _finalize(self, words: np.ndarray, seg_bits: np.ndarray, frames: int,
+                  header: bytes = b""):
         """Vectorized host tail: trim, 1-pad, byte-stuff, assemble markers."""
         sg, w = words.shape
         arr = np.ascontiguousarray(words).byteswap().view(np.uint8).reshape(sg, w * 4)
@@ -438,7 +487,7 @@ class DeviceEncoder:
         # RSTn marker), then the markers drop into the gaps.
         res: List[bytes] = []
         ns = self.n_segments
-        hdr = np.frombuffer(self.header, np.uint8)
+        hdr = np.frombuffer(header or self.header, np.uint8)
         for f in range(frames):
             seg_lens = s_end[f * ns:(f + 1) * ns] - s_start[f * ns:(f + 1) * ns]
             body = out[s_start[f * ns]:s_end[(f + 1) * ns - 1]]

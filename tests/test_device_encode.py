@@ -140,3 +140,20 @@ def test_device_encode_12bit_with_stream_tables():
         src = read_pnm(p).data[..., :3]
         dec = jpeg_tpu.decode_jpeg(o, exact=True).pixels()
         assert np.abs(dec.astype(int) - src.astype(int)).mean() < 64
+
+
+def test_device_encode_two_pass_optimize():
+    """optimize=True: on-device histogram (MXU dry pass) + per-batch K.2
+    tables.  Output must be smaller than the default tables, decode on
+    the reference decoder, and round-trip through our decoder."""
+    params = EncodeParams(h=2, v=2, quality=80, optimize=False,
+                          restart_interval=3, exact=False)
+    ppms = [make_ppm(96, 72, seed=150 + s) for s in range(3)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(72, 96, 3, params)
+    o_def = enc.encode_batch(pix)
+    o_opt = enc.encode_batch(pix, optimize=True)
+    assert sum(map(len, o_opt)) < sum(map(len, o_def))
+    for o, p in zip(o_opt, ppms):
+        assert ref_decode(o) == jpeg_tpu.decode_jpeg(o).to_pnm()
+        assert _coeff_maxdiff(o, encode_jpeg(p, params)) <= 1
