@@ -24,6 +24,7 @@ jax.config.update("jax_enable_x64", True)
 
 from .api import DecodedImage, decode_coefficients, decode_jpeg  # noqa: E402
 from .encoder import EncodeParams, encode_jpeg  # noqa: E402
+from . import mjpeg  # noqa: E402
 from .models.device_decode import DeviceDecoder  # noqa: E402
 from .models.device_encode import DeviceEncoder  # noqa: E402
 from .errors import (  # noqa: E402
