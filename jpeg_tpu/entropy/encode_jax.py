@@ -396,7 +396,6 @@ def encode_scan_device2(
         (((n_sym_v << 1) | eob_v.astype(jnp.int32)) << 3 | dc_tab) << 3
         | ac_tab
     ) << 17 | seg_of_block  # n_sym:7 | eob:1 | tabs:3+3 | seg:17
-    t_dc = (dcat_v << 17) | dext_v  # dcat:5 | dext:17
 
     mark = jnp.zeros(items_cap, jnp.int32).at[base].add(1, mode="drop")
     b_of = jnp.cumsum(mark) - 1  # [N] bitstream block position of each item
@@ -407,7 +406,11 @@ def encode_scan_device2(
 
     flatbase = jnp.take(t_flat, b_of, mode="clip")
     meta = jnp.take(t_meta, b_of, mode="clip")
-    dcpk = jnp.take(t_dc, b_of, mode="clip")
+    # DC values are read ONLY at block-start slots (is_dc <=> i == start),
+    # so a B-sized scatter replaces a per-item gather.
+    dcpk = jnp.zeros(items_cap, jnp.int32).at[base].set(
+        (dcat_v << 17) | dext_v, mode="drop"
+    )
     seg_id = meta & 0x1FFFF
     ac_tab_i = (meta >> 17) & 7
     dc_tab_i = (meta >> 20) & 7

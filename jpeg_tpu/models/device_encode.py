@@ -199,7 +199,7 @@ class DeviceEncoder:
     ehufsi: np.ndarray
     words_per_seg: int
     items_per_block: int = 12  # sticky item-budget multiplier, grows on overflow
-    nz_cap: int = 24  # sticky per-block nonzero bound (mark-scatter width)
+    nz_cap: int = 16  # sticky per-block nonzero bound (mark-scatter width)
     table_keys: tuple = ()  # (class, id) per stacked code-table row
 
     @staticmethod
