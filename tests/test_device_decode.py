@@ -172,3 +172,16 @@ def test_device_batch_rejects_mixed_geometry():
     # rejects via header byte-identity)
     with pytest.raises(UnsupportedError):
         dec.decode_batch([a, b])
+
+
+def test_device_batch_444():
+    """4:4:4 color (h=v=1, three full-res components) batch decode."""
+    params = EncodeParams(h=1, v=1, quality=85, restart_interval=3,
+                          optimize=False, exact=False)
+    jpegs = [encode_jpeg(make_ppm(40, 32, seed=160 + i), params) for i in range(2)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    batch = np.asarray(dec.decode_batch(jpegs))
+    assert batch.shape == (2, 32, 40, 3)
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
