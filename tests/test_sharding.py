@@ -67,7 +67,10 @@ def test_graft_entry_contract():
 
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape == (2, 128, 128, 3)
+    assert out.shape == (2, 48, 64, 3)  # flagship: full entropy+dense decode
+    import numpy as np
+
+    assert np.asarray(out).dtype == np.uint8
     ge.dryrun_multichip(8)
 
 
