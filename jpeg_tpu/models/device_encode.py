@@ -358,7 +358,9 @@ class DeviceEncoder:
             out[k] = optimize_table(counts)
         return out
 
-    def encode_batch(self, pixels, optimize: bool = False) -> List[bytes]:
+    def encode_batch(
+        self, pixels, optimize: bool = False, chunk: int = 16
+    ) -> List[bytes]:
         """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes.
 
         ``optimize=True`` runs the two-pass Annex-K.2 optimization fully
@@ -377,7 +379,7 @@ class DeviceEncoder:
             "device_encode.batch",
             items=frames * self.geom.height * self.geom.width,
         ):
-            return self._encode_batch_inner(pixels, frames, optimize)
+            return self._encode_batch_inner(pixels, frames, optimize, chunk)
 
     def _run(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
         """One device encode with the sticky-capacity retry loop."""
@@ -421,14 +423,28 @@ class DeviceEncoder:
             if not grew:
                 return res
 
-    def _encode_batch_inner(self, pixels, frames: int, optimize: bool) -> List[bytes]:
+    def _encode_batch_inner(
+        self, pixels, frames: int, optimize: bool, chunk: int
+    ) -> List[bytes]:
+        """Chunked encode: the entropy stage materializes an
+        [items, 256] one-hot (~300 MB/frame at 1080p), so big batches
+        process in ``chunk``-frame pieces.  With optimize=True, chunk
+        histograms SUM into the per-batch tables first (the all-reduce
+        shape of write_ecs_dry), then every chunk encodes with them."""
+        if chunk <= 0 or frames <= chunk:
+            spans = [(0, frames)]
+        else:
+            spans = [(i, min(i + chunk, frames)) for i in range(0, frames, chunk)]
         ehufco, ehufsi, header = self.ehufco, self.ehufsi, self.header
         if optimize:
             from ..tables import optimize_table
 
-            hist = np.asarray(
-                self._run(pixels, frames, ehufco, ehufsi, True)[4]
-            )
+            hist = None
+            for lo, hi in spans:
+                h = np.asarray(
+                    self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, True)[4]
+                )
+                hist = h if hist is None else hist + h
             specs = dict(
                 (k, HuffSpec.from_pair(v)) for k, v in DEFAULT_HTABLES.items()
             )
@@ -445,18 +461,21 @@ class DeviceEncoder:
             header = _build_header(
                 self.geom, self.qtables, specs, self.ri, self.info
             )
-        words, seg_bits, _, missing = self._run(
-            pixels, frames, ehufco, ehufsi, False
-        )
-        if bool(missing):
-            raise UnsupportedError(
-                "a symbol has no code in the selected Huffman tables "
-                "(content exceeds table range; use optimize=True)"
+        out: List[bytes] = []
+        for lo, hi in spans:
+            words, seg_bits, _, missing = self._run(
+                pixels[lo:hi], hi - lo, ehufco, ehufsi, False
             )
-        seg_bits = np.asarray(seg_bits)
-        w_used = max(1, int((seg_bits.max() + 31) // 32))
-        words_h = np.asarray(words[:, :w_used])  # device slice, then download
-        return self._finalize(words_h, seg_bits, frames, header)
+            if bool(missing):
+                raise UnsupportedError(
+                    "a symbol has no code in the selected Huffman tables "
+                    "(content exceeds table range; use optimize=True)"
+                )
+            seg_bits = np.asarray(seg_bits)
+            w_used = max(1, int((seg_bits.max() + 31) // 32))
+            words_h = np.asarray(words[:, :w_used])
+            out.extend(self._finalize(words_h, seg_bits, hi - lo, header))
+        return out
 
     def _finalize(self, words: np.ndarray, seg_bits: np.ndarray, frames: int,
                   header: bytes = b""):
