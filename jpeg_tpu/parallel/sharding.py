@@ -119,6 +119,63 @@ def make_sharded_stream_decoder(
     return jax.jit(fn)
 
 
+def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,
+                                with_hist: bool = False):
+    """Full stream encode (dense + entropy) sharded over 'frame'.
+
+    The mirror of ``make_sharded_stream_decoder``: each device encodes
+    its own frames with zero collectives -- except with ``with_hist``,
+    where the per-shard symbol histograms reduce with ONE ``psum`` over
+    'frame' (the collective form of the reference's write_ecs_dry pass,
+    SURVEY §2.2).  ``enc`` is a built DeviceEncoder; ``frames`` must be
+    a multiple of the mesh's 'frame' axis.  Returns a jitted
+    ``encode(pixels [F, H, W, C], ehufco, ehufsi) -> (words sharded
+    P('frame'), seg_bits sharded, overflow [n], missing [n][, hist
+    replicated])``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.device_encode import _encode_device
+
+    n = mesh.shape["frame"]
+    if frames % n:
+        raise ValueError(f"frames ({frames}) must divide over 'frame' ({n})")
+    fpd = frames // n
+    nb = enc.visit_src.size * fpd
+    raw = nb * enc.items_per_block
+    quant = 8192 if raw < 262144 else 65536
+    items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
+    consts = tuple(
+        jnp.asarray(a)
+        for a in (enc.qtables, enc.visit_src, enc.prev_idx, enc.dc_tab,
+                  enc.ac_tab, enc.seg_of)
+    )
+
+    def local(pixels, ehufco, ehufsi):
+        res = _encode_device(
+            pixels, *consts, ehufco, ehufsi, enc.geom, enc.ri, fpd,
+            enc.n_segments, enc.words_per_seg, items_cap, enc.nz_cap,
+            with_hist,
+        )
+        words, seg_bits, overflow, missing = res[:4]
+        out = [words, seg_bits, overflow.reshape(1), missing.reshape(1)]
+        if with_hist:
+            out.append(jax.lax.psum(res[4], "frame"))
+        return tuple(out)
+
+    out_specs = [P("frame", None), P("frame"), P("frame"), P("frame")]
+    if with_hist:
+        out_specs.append(P())
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("frame", None, None, None), P(), P()),
+        out_specs=tuple(out_specs),
+        check_rep=False,  # scatter ops defeat the replication checker
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_roundtrip(cfg: BatchConfig, mesh: Mesh):
     """Jitted full-pipeline step (decode + re-encode + histogram psum)."""
     in_spec = NamedSharding(mesh, P("frame", "tile", None))

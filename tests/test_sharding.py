@@ -116,3 +116,34 @@ def jnp_arr(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
+
+
+def test_sharded_full_stream_encode_matches_single_device():
+    """Dense + entropy encode sharded over 'frame' == unsharded output,
+    and the optimize dry pass reduces with a psum across shards."""
+    import jpeg_tpu
+    from jpeg_tpu.encoder import EncodeParams
+    from jpeg_tpu.models.device_encode import DeviceEncoder
+    from jpeg_tpu.parallel.sharding import make_mesh, make_sharded_stream_encoder
+    from jpeg_tpu.utils.pnm import read_pnm
+    from refbin import make_ppm
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                          restart_interval=2, exact=False)
+    ppms = [make_ppm(48, 32, seed=180 + s) for s in range(4)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(32, 48, 3, params)
+    expected = enc.encode_batch(pix)
+
+    mesh = make_mesh(8)  # ('frame', 'tile') = (4, 2)
+    encode = make_sharded_stream_encoder(enc, mesh, 4, with_hist=True)
+    ec, es = jnp_arr(enc.ehufco), jnp_arr(enc.ehufsi)
+    words, seg_bits, overflow, missing, hist = encode(jnp_arr(pix), ec, es)
+    assert not np.asarray(overflow).any() and not np.asarray(missing).any()
+    seg_bits = np.asarray(seg_bits)
+    w_used = max(1, int((seg_bits.max() + 31) // 32))
+    outs = enc._finalize(np.asarray(words[:, :w_used]), seg_bits, 4, b"")
+    assert [bytes(o) for o in outs] == [bytes(o) for o in expected]
+    # the psum'd histogram equals the single-device dry pass
+    h1 = np.asarray(enc._run(pix, 4, enc.ehufco, enc.ehufsi, True)[4])
+    np.testing.assert_array_equal(np.asarray(hist), h1)
