@@ -46,7 +46,8 @@ class EncodeParams:
     optimize: bool = True
     restart_interval: int = 0  # extension: MCUs per restart interval
     exact: bool = True  # bit-exact float path vs fast MXU path
-    entropy_backend: str = "numpy"  # "numpy" (host) or "jax" (on-device)
+    entropy_backend: str = "numpy"  # "numpy" (host), "jax" (on-device),
+    # or "native" (threaded C++ host kernel; falls back to numpy)
 
 
 def geometry_for_image(img: PnmImage, params: EncodeParams) -> FrameGeometry:
@@ -85,7 +86,12 @@ def encode_jpeg_from_planes(
         ta=tuple(c.ta for c in sorted(geom.components, key=lambda c: c.cid)),
     )
 
-    symbols = symbolize_scan(planes, geom, info, params.restart_interval)
+    # The numpy symbolization feeds the numpy packer and the optimizer's
+    # dry pass; the jax/native backends symbolize internally, so skip it
+    # when neither consumer needs it.
+    symbols = None
+    if params.optimize or params.entropy_backend not in ("jax", "native"):
+        symbols = symbolize_scan(planes, geom, info, params.restart_interval)
 
     # Table selection: default (MJPEG) tables or per-image optimized
     # (produce_codestream ordering, encoder.c:614-630).
@@ -104,6 +110,25 @@ def encode_jpeg_from_planes(
         segments = pack_scan_device(
             planes, geom, info, tables, params.restart_interval
         )
+    elif params.entropy_backend == "native":
+        from . import native
+        from .entropy.encode_jax import visit_zz_and_tables
+
+        if not native.available():
+            if symbols is None:
+                symbols = symbolize_scan(
+                    planes, geom, info, params.restart_interval
+                )
+            segments = pack_scan(symbols, tables, params.restart_interval)
+        else:
+            zz, dct, act, seg_of, ehufco, ehufsi = visit_zz_and_tables(
+                planes, geom, info, tables, params.restart_interval
+            )
+            n_seg = int(seg_of.max()) + 1
+            sbo = np.searchsorted(seg_of, np.arange(n_seg + 1)).astype(np.int64)
+            segments = native.encode_segments_native(
+                zz, dct, act, sbo, ehufco, ehufsi
+            )
     else:
         segments = pack_scan(symbols, tables, params.restart_interval)
 

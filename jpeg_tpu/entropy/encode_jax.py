@@ -528,13 +528,11 @@ def encode_scan_device2(
     return words, seg_bits, overflow, missing
 
 
-def pack_scan_device(planes, geom, info, tables, ri: int = 0):
-    """High-level device entropy encode: planes -> stuffed ECS segments.
+def visit_zz_and_tables(planes, geom, info, tables, ri: int = 0):
+    """Shared host prep for the device/native entropy encoders.
 
-    Mirrors entropy.encode.pack_scan (byte-identical output) but runs the
-    symbolization + bit packing on the accelerator.  Host work is limited
-    to the visit-order constants, the final byte trim/stuff, and marker
-    assembly.
+    Returns (zz [B,64] int32 visit order with differential DC, dc_tab,
+    ac_tab, seg_of [B] int32, ehufco, ehufsi [T,256] int32).
     """
     from ..constants import ZIGZAG
     from .encode import build_visit_order
@@ -576,7 +574,27 @@ def pack_scan_device(planes, geom, info, tables, ri: int = 0):
     ehufsi = np.stack([tables[k].ehufsi for k in keys]).astype(np.int32)
     td = np.asarray([tmap[(0, info.td[j])] for j in range(info.ns)])
     ta = np.asarray([tmap[(1, info.ta[j])] for j in range(info.ns)])
+    return (
+        zz.astype(np.int32),
+        td[comp_idx].astype(np.int32),
+        ta[comp_idx].astype(np.int32),
+        seg_of.astype(np.int32),
+        ehufco,
+        ehufsi,
+    )
 
+
+def pack_scan_device(planes, geom, info, tables, ri: int = 0):
+    """High-level device entropy encode: planes -> stuffed ECS segments.
+
+    Mirrors entropy.encode.pack_scan (byte-identical output) but runs the
+    symbolization + bit packing on the accelerator.  Host work is limited
+    to the visit-order constants, the final byte trim/stuff, and marker
+    assembly.
+    """
+    zz, dct, act, seg_of, ehufco, ehufsi = visit_zz_and_tables(
+        planes, geom, info, tables, ri
+    )
     n_segments = int(seg_of.max()) + 1
     # Worst-case capacity: <= 31 bits per symbol slot, 68 slots per block.
     max_blocks_per_seg = int(np.bincount(seg_of).max())
@@ -586,12 +604,12 @@ def pack_scan_device(planes, geom, info, tables, ri: int = 0):
     items_cap = (nb * 12 + 8191) // 8192 * 8192  # avg ~9 items/block
     while True:
         words, seg_bits, overflow, missing = encode_scan_device2(
-            zz.astype(np.int32),
-            td[comp_idx].astype(np.int32),
-            ta[comp_idx].astype(np.int32),
+            zz,
+            dct,
+            act,
             ehufco,
             ehufsi,
-            seg_of.astype(np.int32),
+            seg_of,
             n_segments,
             int(words_per_seg),
             int(items_cap),

@@ -72,6 +72,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i8p, ctypes.c_int64, ctypes.c_int64,
             u32p, ctypes.c_int64, i32p, i32p, ctypes.c_int64, i64p, i64p,
         ]
+        lib.jt_encode_segments.restype = None
+        lib.jt_encode_segments.argtypes = [
+            i32p, i32p, i32p, i64p, ctypes.c_int32, i32p, i32p,
+            i8p, ctypes.c_int64, i64p, i32p, ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -131,6 +136,62 @@ def decode_segments_native(
         ctypes.c_int32(n_threads),
     )
     return out, written, counts
+
+
+def encode_segments_native(
+    zz: np.ndarray,  # [B, 64] int32, visit order, DC already differential
+    dc_tab: np.ndarray,  # [B] int32
+    ac_tab: np.ndarray,  # [B] int32
+    seg_block_offsets: np.ndarray,  # [S+1] int64
+    ehufco: np.ndarray,  # [T, 256] int32
+    ehufsi: np.ndarray,  # [T, 256] int32
+    n_threads: int = 0,
+):
+    """Threaded C++ entropy encode -> list of stuffed segment bytes.
+
+    The native counterpart of the reference's write_ecs hot loop
+    (encoder.c:560-587).  Raises UnsupportedError on a symbol with no
+    code in its table (value_to_vlc parity).
+    """
+    lib = _load()
+    assert lib is not None
+    S = seg_block_offsets.size - 1
+    bps = int(np.diff(seg_block_offsets).max()) if S else 0
+    cap = bps * 68 * 31 // 8 * 2 + 16  # worst case incl. stuffing
+    out = np.empty((S, cap), dtype=np.uint8)
+    lens = np.zeros(S, dtype=np.int64)
+    errors = np.zeros(S, dtype=np.int32)
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    zz = np.ascontiguousarray(zz, dtype=np.int32)
+    dc_tab = np.ascontiguousarray(dc_tab, dtype=np.int32)
+    ac_tab = np.ascontiguousarray(ac_tab, dtype=np.int32)
+    sbo = np.ascontiguousarray(seg_block_offsets, dtype=np.int64)
+    ehufco = np.ascontiguousarray(ehufco, dtype=np.int32)
+    ehufsi = np.ascontiguousarray(ehufsi, dtype=np.int32)
+    lib.jt_encode_segments(
+        _ptr(zz, ctypes.c_int32),
+        _ptr(dc_tab, ctypes.c_int32),
+        _ptr(ac_tab, ctypes.c_int32),
+        _ptr(sbo, ctypes.c_int64),
+        ctypes.c_int32(S),
+        _ptr(ehufco, ctypes.c_int32),
+        _ptr(ehufsi, ctypes.c_int32),
+        _ptr(out, ctypes.c_uint8),
+        ctypes.c_int64(cap),
+        _ptr(lens, ctypes.c_int64),
+        _ptr(errors, ctypes.c_int32),
+        ctypes.c_int32(n_threads),
+    )
+    if (errors == 1).any():
+        from ..errors import UnsupportedError
+
+        raise UnsupportedError(
+            "a symbol has no code in the selected Huffman table "
+            "(content exceeds table range; use optimized tables)"
+        )
+    assert not errors.any(), "native encode buffer overflow"
+    return [out[s, : lens[s]].tobytes() for s in range(S)]
 
 
 def prep_ecs_flat_native(

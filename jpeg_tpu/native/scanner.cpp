@@ -350,3 +350,139 @@ int64_t jt_prep_ecs(const uint8_t* data, int64_t n, int64_t start,
 }
 
 }  // extern "C"
+
+namespace {
+
+// MSB-first bit writer with JPEG byte stuffing (io.c:43-63, 277-290).
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t n = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  inline void put(uint32_t code, int len) {
+    acc = (acc << len) | (code & ((len < 32 ? (1u << len) : 0u) - 1u));
+    nbits += len;
+    while (nbits >= 8) {
+      uint8_t b = static_cast<uint8_t>(acc >> (nbits - 8));
+      nbits -= 8;
+      if (n >= cap) { overflow = true; return; }
+      out[n++] = b;
+      if (b == 0xFF) {
+        if (n >= cap) { overflow = true; return; }
+        out[n++] = 0x00;  // stuffing
+      }
+    }
+  }
+
+  inline void flush() {  // 1-pad the tail byte (io.c:65-87)
+    if (nbits > 0) {
+      uint8_t b = static_cast<uint8_t>(
+          (acc << (8 - nbits)) | ((1u << (8 - nbits)) - 1u));
+      nbits = 0;
+      if (n >= cap) { overflow = true; return; }
+      out[n++] = b;
+      if (b == 0xFF) {
+        if (n >= cap) { overflow = true; return; }
+        out[n++] = 0x00;
+      }
+    }
+  }
+};
+
+inline int bit_length(int32_t m) {
+  int c = 0;
+  while (m) { ++c; m >>= 1; }
+  return c;
+}
+
+// Encode one segment's blocks (visit order, DC already differential).
+// Returns 0 ok, 1 missing code, 2 output overflow.
+int encode_segment(const int32_t* zz, int64_t b0, int64_t b1,
+                   const int32_t* dc_tab, const int32_t* ac_tab,
+                   const int32_t* ehufco, const int32_t* ehufsi,
+                   uint8_t* out, int64_t cap, int64_t* out_len) {
+  BitWriter w{out, cap};
+  for (int64_t b = b0; b < b1; ++b) {
+    const int32_t* blk = zz + b * 64;
+    const int32_t* dco = ehufco + dc_tab[b] * 256;
+    const int32_t* dsi = ehufsi + dc_tab[b] * 256;
+    const int32_t* aco = ehufco + ac_tab[b] * 256;
+    const int32_t* asi = ehufsi + ac_tab[b] * 256;
+
+    int32_t v = blk[0];
+    int cat = bit_length(v < 0 ? -v : v);
+    if (dsi[cat] == 0) return 1;
+    w.put(static_cast<uint32_t>(dco[cat]), dsi[cat]);
+    if (cat) {
+      int32_t adj = v < 0 ? v - 1 : v;
+      w.put(static_cast<uint32_t>(adj) & ((1u << cat) - 1u), cat);
+    }
+
+    int run = 0;
+    for (int k = 1; k < 64; ++k) {
+      int32_t a = blk[k];
+      if (a == 0) { ++run; continue; }
+      while (run > 15) {  // ZRL
+        if (asi[0xF0] == 0) return 1;
+        w.put(static_cast<uint32_t>(aco[0xF0]), asi[0xF0]);
+        run -= 16;
+      }
+      int acat = bit_length(a < 0 ? -a : a);
+      int sym = (run << 4) | acat;
+      if (asi[sym] == 0) return 1;
+      w.put(static_cast<uint32_t>(aco[sym]), asi[sym]);
+      int32_t adj = a < 0 ? a - 1 : a;
+      w.put(static_cast<uint32_t>(adj) & ((1u << acat) - 1u), acat);
+      run = 0;
+    }
+    if (run > 0) {  // EOB
+      if (asi[0] == 0) return 1;
+      w.put(static_cast<uint32_t>(aco[0]), asi[0]);
+    }
+    if (w.overflow) return 2;
+  }
+  w.flush();
+  if (w.overflow) return 2;
+  *out_len = w.n;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Threaded entropy encode: visit-ordered DC-differential zigzag blocks ->
+// stuffed, flush-padded per-segment byte streams (the native counterpart
+// of the reference's write_ecs hot loop, encoder.c:560-587).
+void jt_encode_segments(const int32_t* zz, const int32_t* dc_tab,
+                        const int32_t* ac_tab,
+                        const int64_t* seg_block_offsets,  // [S+1]
+                        int32_t n_segments, const int32_t* ehufco,
+                        const int32_t* ehufsi, uint8_t* out,
+                        int64_t max_bytes_per_seg, int64_t* out_lens,
+                        int32_t* errors, int32_t n_threads) {
+  auto work = [&](int32_t s) {
+    errors[s] = encode_segment(
+        zz, seg_block_offsets[s], seg_block_offsets[s + 1], dc_tab, ac_tab,
+        ehufco, ehufsi, out + static_cast<int64_t>(s) * max_bytes_per_seg,
+        max_bytes_per_seg, &out_lens[s]);
+  };
+  if (n_threads <= 1 || n_segments <= 1) {
+    for (int32_t s = 0; s < n_segments; ++s) work(s);
+    return;
+  }
+  int nt = n_threads < n_segments ? n_threads : n_segments;
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int32_t s = t; s < n_segments; s += nt) work(s);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -57,3 +57,28 @@ def test_native_larger():
     )
     _cross(jpg)
     assert jpeg_tpu.decode_jpeg(jpg, entropy="native").to_pnm() == ref_decode(jpg)
+
+
+def test_native_encode_backend_byte_identical():
+    """The threaded C++ entropy encoder (entropy_backend='native') must
+    be byte-identical to the numpy packer across modes."""
+    from jpeg_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+
+    cases = [
+        (dict(h=2, v=2, quality=80, restart_interval=3, optimize=False),
+         make_ppm(96, 72, seed=5)),
+        (dict(h=2, v=1, quality=75, restart_interval=0, optimize=True),
+         make_ppm(64, 48, seed=6)),
+        (dict(h=1, v=1, quality=90, restart_interval=2, optimize=False),
+         make_pgm(40, 40, seed=7)),
+        (dict(h=2, v=2, quality=85, restart_interval=2, optimize=True),
+         make_ppm(80, 56, seed=8, maxval=4095)),  # 12-bit
+    ]
+    for kw, pnm in cases:
+        a = encode_jpeg(pnm, EncodeParams(**kw, entropy_backend="numpy"))
+        b = encode_jpeg(pnm, EncodeParams(**kw, entropy_backend="native"))
+        assert a == b, kw
