@@ -8,13 +8,14 @@ pipeline.  Entropy decoding uses the fastest available backend unless
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import lru_cache
 from typing import Dict, Optional
 
 import numpy as np
 
-from .errors import UnsupportedError
+from .errors import CorruptStream, UnsupportedError
 from .format.parse import Codestream, parse_codestream, unstuff
 from .geometry import FrameGeometry
 from .models.pipeline import decode_frame
@@ -83,6 +84,26 @@ class DecodedImage:
         return np.clip(rounded.astype(np.int32), 0, maxval)
 
 
+def expected_mcus(geom: FrameGeometry, info) -> int:
+    """MCU steps the geometry implies for one scan.
+
+    Interleaved (Ns>1): the frame MCU grid (common.c:174).  Ns=1
+    non-interleaved: each step covers H*V consecutive blocks of the
+    component's own grid (decoder.c:274-302).
+    """
+    if info.ns > 1:
+        return geom.n_mcus
+    c = geom.by_id(info.component_ids[0])
+    step = max(1, c.h * c.v)
+    return -(-c.n_blocks // step)
+
+
+def checks_enabled() -> bool:
+    """Sanitizer mode (SURVEY §5): JPEG_TPU_CHECKS=1 arms extra decode
+    invariant checks (MCU-count vs geometry, NaN guards in fast paths)."""
+    return os.environ.get("JPEG_TPU_CHECKS", "") not in ("", "0")
+
+
 def decode_coefficients(
     data: bytes, entropy: str = "auto"
 ) -> tuple[Codestream, Dict[int, np.ndarray]]:
@@ -97,6 +118,7 @@ def decode_coefficients(
         for c in geom.components
     }
 
+    cs.mcus_decoded = []
     for scan in cs.scans:
         tables = {k: _derive_cached(spec) for k, spec in scan.htables.items()}
         backend = entropy
@@ -109,13 +131,20 @@ def decode_coefficients(
                 # Lockstep decodes restart segments in parallel lanes, but
                 # its per-step cost is fixed -- it only amortizes with
                 # enough lanes; otherwise the serial reader wins.
-                backend = "lockstep" if len(segments) >= 16 else "serial"
+                backend = "lockstep" if len(scan.ecs_ranges) >= 16 else "serial"
         if backend == "native":
+            from . import native as _native
+
+            if not _native.available():
+                raise UnsupportedError(
+                    "entropy='native' requested but the native library is "
+                    "unavailable (no C++ toolchain?); use entropy='auto'"
+                )
             from .entropy.native import decode_scan_native
             from .format.parse import unstuff_ranges
 
             seg_bytes, seg_offsets = unstuff_ranges(data, scan.ecs_ranges)
-            decode_scan_native(
+            n = decode_scan_native(
                 geom,
                 scan.info,
                 tables,
@@ -124,22 +153,36 @@ def decode_coefficients(
                 seg_bytes=seg_bytes,
                 seg_offsets=seg_offsets,
             )
+            cs.mcus_decoded.append(int(n))
             continue
         segments = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
         if backend == "serial":
             from .entropy.serial import decode_scan_serial
 
-            decode_scan_serial(geom, scan.info, tables, segments, planes)
+            n = decode_scan_serial(geom, scan.info, tables, segments, planes)
         elif backend == "lockstep":
             from .entropy.lockstep import decode_scan_lockstep
 
-            decode_scan_lockstep(geom, scan.info, tables, segments, planes)
+            n = decode_scan_lockstep(geom, scan.info, tables, segments, planes)
         elif backend == "lockstep-jax":
             from .entropy.lockstep_jax import decode_scan_lockstep_jax
 
-            decode_scan_lockstep_jax(geom, scan.info, tables, segments, planes)
+            n = decode_scan_lockstep_jax(
+                geom, scan.info, tables, segments, planes
+            )
         else:
             raise UnsupportedError(f"unknown entropy backend {entropy!r}")
+        cs.mcus_decoded.append(int(n))
+    if checks_enabled():
+        # Sanitizer: every scan must have decoded exactly the MCU count
+        # its geometry implies (the reference's expected-vs-processed
+        # report, common.c:174, hardened into an assertion).
+        for scan, got in zip(cs.scans, cs.mcus_decoded):
+            want = expected_mcus(geom, scan.info)
+            if got != want:
+                raise CorruptStream(
+                    f"scan decoded {got} MCUs, geometry expects {want}"
+                )
     return cs, planes
 
 

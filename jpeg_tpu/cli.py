@@ -33,12 +33,42 @@ def _decode(args) -> int:
     except JpegError as e:
         print(f"Failure. ({type(e).__name__}: {e})", file=sys.stderr)
         return 1
+    if args.verbose:
+        _print_decode_diagnostics(img)
     out = args.output
     if out is None:
         out = "output.ppm" if img.geometry.nf >= 3 else "output.pgm"
     Path(out).write_bytes(img.to_pnm())
     print("Success.")
     return 0
+
+
+def _print_decode_diagnostics(img) -> None:
+    """The reference's stdout narration under -v: qtable dumps
+    (decoder.c:60-65), COM text (decoder.c:403-431), expected-vs-
+    processed macroblock counts (common.c:174, decoder.c:385), and the
+    trailing-garbage report (decoder.c:604-609)."""
+    from .api import expected_mcus
+
+    cs, geom = img.codestream, img.geometry
+    used = sorted({c.tq for c in geom.components})
+    for tq in used:
+        print(f"quantization table {tq}:")
+        qt = cs.qtables[tq].reshape(8, 8)
+        for row in qt:
+            print("  " + " ".join(f"{v:3d}" for v in row))
+    for com in cs.comments:
+        try:
+            text = com.decode("ascii")
+        except UnicodeDecodeError:
+            text = com.decode("latin-1")
+        print(f"comment: {text}")
+    for i, scan in enumerate(cs.scans):
+        want = expected_mcus(geom, scan.info)
+        got = cs.mcus_decoded[i] if i < len(cs.mcus_decoded) else 0
+        print(f"scan {i}: {got} macroblocks processed, {want} expected")
+    if cs.trailing_garbage:
+        print(f"{cs.trailing_garbage} bytes of garbage after EOI")
 
 
 def _mjpeg(args) -> int:
@@ -99,6 +129,7 @@ def _encode(args) -> int:
         optimize=bool(args.optimize),
         restart_interval=args.restart_interval,
         exact=not args.fast,
+        entropy_backend=args.entropy_backend,
     )
     try:
         jpg = encode_jpeg(data, params)
@@ -119,7 +150,11 @@ def main(argv=None) -> int:
     d.add_argument("output", nargs="?", default=None)
     d.add_argument("--fast", action="store_true", help="fast f32 path (not bit-exact)")
     d.add_argument("--entropy", default="auto",
-                   choices=["auto", "serial", "lockstep", "lockstep-jax"])
+                   choices=["auto", "serial", "lockstep", "lockstep-jax",
+                            "native"])
+    d.add_argument("-v", "--verbose", action="store_true",
+                   help="print qtables, comments, MCU counts, trailing "
+                        "garbage (the reference's stdout narration)")
     d.set_defaults(fn=_decode)
 
     e = sub.add_parser("encode", help="PPM/PGM -> JPEG")
@@ -130,6 +165,10 @@ def main(argv=None) -> int:
     e.add_argument("-r", "--restart-interval", type=int, default=0,
                    help="MCUs per restart interval (0 = none)")
     e.add_argument("--fast", action="store_true", help="fast f32 path")
+    e.add_argument("--entropy-backend", default="numpy",
+                   choices=["numpy", "jax", "native"],
+                   help="entropy coder: numpy (host), jax (on-device), "
+                        "native (threaded C++; falls back to numpy)")
     e.add_argument("input", nargs="?", default="Lenna.ppm")
     e.add_argument("output", nargs="?", default="output.jpg")
     e.set_defaults(fn=_encode)

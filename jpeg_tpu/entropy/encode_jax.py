@@ -320,6 +320,15 @@ def encode_scan_device2(
     missing): ``overflow`` = items_cap or words_per_seg too small (caller
     retries larger), ``missing`` = some symbol has no code in its table.
     """
+    if n_segments > (1 << 17):
+        # t_meta packs seg_of_block into 17 bits below; wrapping would
+        # silently corrupt the tab/eob/n_sym fields too.  n_segments is
+        # static, so this check is free (trace-time).  DeviceEncoder caps
+        # its chunk size to stay under this.
+        raise ValueError(
+            f"n_segments={n_segments} exceeds the 2^17 packing limit of "
+            "encode_scan_device2; split the batch into smaller chunks"
+        )
     b = zz.shape[0]
     dc = zz[:, 0]
     acs = zz[:, 1:]  # [B, 63]

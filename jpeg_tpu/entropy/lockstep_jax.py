@@ -599,6 +599,15 @@ def decode_scan_lockstep_jax(
     plan = _cached_plan(
         geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
     )
+    if plan.blocks_per_mcu > 16:
+        # The emission key packs the slot into 4 bits; T.81-valid streams
+        # have bpm<=16 but the parser doesn't bound H/V nibbles, and the
+        # reference still decodes such streams (decoder.c:303-359).  Keep
+        # the "parallel engines deviate only on invalid input" contract
+        # explicit by routing oversized plans to the serial oracle.
+        from .serial import decode_scan_serial
+
+        return decode_scan_serial(geom, info, tables, segments, planes)
     words, nbits = _segments_to_words(segments)
     total_blocks = sum(geom.by_id(cid).n_blocks for cid in info.component_ids)
     max_steps = _max_steps_for(nbits, plan, ri)

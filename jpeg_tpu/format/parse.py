@@ -74,6 +74,10 @@ class Codestream:
     comments: List[bytes] = field(default_factory=list)
     trailing_garbage: int = 0
     adobe_transform: Optional[int] = None  # from APP14, informational
+    # Filled by api.decode_coefficients: MCUs actually entropy-decoded per
+    # scan (the reference's processed-macroblock report, common.c:174,
+    # decoder.c:385).  Empty until a decode runs.
+    mcus_decoded: List[int] = field(default_factory=list)
 
 
 class _Reader:

@@ -196,8 +196,12 @@ class DeviceDecoder:
             rc, used = native.prep_ecs_flat_native(
                 data, self.scan_start, buf, base, starts[row], lens[row]
             )
-            if rc < 0 or rc > spf:
-                return None  # malformed or odd framing: Python parser
+            if rc != spf:
+                # Malformed, truncated, or odd framing: defer to the full
+                # Python parser so fast/slow prep share one failure mode
+                # (the parser validates the whole marker stream before
+                # padding short frames with empty lanes).
+                return None
             starts[f * spf : f * spf + rc] += base
             base += used
         # Lane-matrix width must cover the longest row (+1 lookahead word).

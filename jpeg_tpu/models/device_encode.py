@@ -421,7 +421,14 @@ class DeviceEncoder:
                 self.nz_cap = min(63, self.nz_cap * 2)
                 grew = True
             if not grew:
-                return res
+                # No capacity left to grow: words_per_seg is sized
+                # worst-case so this is unreachable today, but a silent
+                # return here would ship corrupt segment words -- fail
+                # loudly instead (advisor finding, round 1).
+                raise RuntimeError(
+                    f"device encode overflow (code={code:#05b}) with all "
+                    "capacities at maximum; segment words would be corrupt"
+                )
 
     def _encode_batch_inner(
         self, pixels, frames: int, optimize: bool, chunk: int
@@ -431,7 +438,11 @@ class DeviceEncoder:
         process in ``chunk``-frame pieces.  With optimize=True, chunk
         histograms SUM into the per-batch tables first (the all-reduce
         shape of write_ecs_dry), then every chunk encodes with them."""
-        if chunk <= 0 or frames <= chunk:
+        # encode_scan_device2 packs segment ids into 17 bits; cap the
+        # chunk so frames*n_segments never wraps (e.g. 4K at ri=1).
+        max_chunk = max(1, (1 << 17) // max(1, self.n_segments))
+        chunk = min(chunk, max_chunk) if chunk > 0 else max_chunk
+        if frames <= chunk:
             spans = [(0, frames)]
         else:
             spans = [(i, min(i + chunk, frames)) for i in range(0, frames, chunk)]

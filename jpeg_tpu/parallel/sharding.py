@@ -94,7 +94,7 @@ def make_sharded_stream_decoder(
     ``decode(words [F*spf, Wn], nbits [F*spf], qtables) ->
     (pixels sharded P('frame'), starved [frame_axis])``.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.4.35; was jax.experimental.shard_map
 
     from ..models.device_decode import _decode_impl
 
@@ -114,7 +114,7 @@ def make_sharded_stream_decoder(
         mesh=mesh,
         in_specs=(P("frame", None), P("frame"), P()),
         out_specs=(P("frame", None, None, None), P("frame")),
-        check_rep=False,  # scatter ops defeat the replication checker
+        check_vma=False,  # scatter ops defeat the varying-axes checker
     )
     return jax.jit(fn)
 
@@ -133,7 +133,7 @@ def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,
     P('frame'), seg_bits sharded, overflow [n], missing [n][, hist
     replicated])``.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.4.35; was jax.experimental.shard_map
 
     from ..models.device_encode import _encode_device
 
@@ -171,7 +171,7 @@ def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,
         mesh=mesh,
         in_specs=(P("frame", None, None, None), P(), P()),
         out_specs=tuple(out_specs),
-        check_rep=False,  # scatter ops defeat the replication checker
+        check_vma=False,  # scatter ops defeat the varying-axes checker
     )
     return jax.jit(fn)
 
