@@ -537,6 +537,279 @@ def encode_scan_device2(
     return words, seg_bits, overflow, missing
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_segments", "words_per_seg", "icap", "nz_cap", "wpb_cap",
+        "with_hist",
+    ),
+)
+def encode_scan_device3(
+    zz,  # [B, 64] int32 zig-zag blocks, DC already differential; row order
+    #      is arbitrary ("natural") -- `order` gives the bitstream order
+    dc_tab,  # [B] int32, NATURAL order (unlike v2's bitstream order)
+    ac_tab,  # [B] int32, natural order
+    ehufco,  # [T, 256] int32
+    ehufsi,  # [T, 256] int32
+    seg_of_block,  # [B] int32 nondecreasing, bitstream order
+    n_segments: int,
+    words_per_seg: int,
+    icap: int,  # static per-block item-slot cap (sticky; <= 68 covers all)
+    order=None,  # [B] int32: bitstream position -> zz row; None = identity
+    nz_cap: int = 16,  # static per-block nonzero-AC cap (sticky)
+    wpb_cap: int = 2,  # compact-word capacity per block (sticky)
+    with_hist: bool = False,
+):
+    """Block-lane generator entropy encode (v3).
+
+    v2 (``encode_scan_device2``) runs ITEM-parallel: every Huffman item
+    is a row of an [N]-sized stream, and each N-sized gather (~10 ns/elem)
+    / scatter (~13.5 ns/attempt) / cumsum (~3.5) pass taxes all ~12
+    items/block.  Measured on v5e that tax is ~118 ns/item -- 70 ms per
+    1080p frame, slower than the single-core C reference encoder
+    (encoder.c:560-587).
+
+    v3 restructures the work so the expensive ops touch WORDS (~1 per
+    block of photographic content) instead of items:
+
+      1. per block, sort AC positions so nonzeros lead (one lax.sort);
+      2. a CONSTANT unrolled loop over ``icap`` item slots runs a
+         per-block symbol state machine -- every intermediate is a [B]
+         vector (the measured-cheap shape), the current nonzero's payload
+         comes from a one-hot pick over nz_cap columns, and (code, size)
+         from one [B, 256] bf16 one-hot matmul per slot;
+      3. bits append into an in-register 64-bit window (two u32 lanes);
+         each completed 32-bit word writes into a [B, icap+2] per-block
+         buffer via a one-hot column select -- no scatter;
+      4. per-block word counts compact into a flat word stream (ONE
+         B-attempt mark scatter + cumsum inverse map), and each compact
+         word lands in its segment row with two scatter-ADDs -- total
+         scatter attempts ~2 words/block instead of ~24 item-halves.
+
+    Zero-pad bits in each block's flush word overlap the next block's
+    span but contribute 0 to the adds, so the merge needs no masking.
+
+    Returns (words [n_segments, words_per_seg] u32, seg_bits, overflow,
+    missing[, hist]).  Overflow bits: 0 = icap, 1 = words_per_seg,
+    2 = nz_cap, 3 = wpb_cap (callers grow the bound that tripped).
+    Byte-identical to v2 / the host packer (encoder.c:560-587 semantics).
+    """
+    B = zz.shape[0]
+    T = ehufco.shape[0]
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    dc = zz[:, 0]
+    acs = zz[:, 1:]  # [B, 63]
+    nz = acs != 0
+
+    # ---- per-position run/ZRL structure (elementwise, as v2) -----------
+    pos = jnp.arange(1, 64, dtype=i32)[None, :]
+    last_nz = jax.lax.cummax(jnp.where(nz, pos, 0), axis=1)
+    prev_nz = jnp.concatenate(
+        [jnp.zeros((B, 1), last_nz.dtype), last_nz[:, :-1]], axis=1
+    )
+    gap = pos - prev_nz - 1
+    n_zrl = jnp.where(nz, gap // 16, 0)  # [B, 63]
+    run = jnp.where(nz, gap % 16, 0)
+    cat = encode_cat_jax(acs)
+    adj = jnp.where(acs < 0, acs - 1, acs)
+    extra = (adj & ((i32(1) << cat) - 1)).astype(i32)
+
+    key = jnp.where(nz, pos, i32(64))
+    sym_rs = ((run << 4) | cat).astype(i32)
+    payload = (n_zrl << 29) | (sym_rs << 21) | (cat << 16) | (extra & 0xFFFF)
+    _, s_pay = jax.lax.sort((key, payload), dimension=1, num_keys=1)
+    s_pay = s_pay[:, :nz_cap]  # [B, nz_cap] nonzeros in position order
+
+    n_nz = nz.sum(axis=1).astype(i32)
+    zrl_total = n_zrl.sum(axis=1).astype(i32)
+    has_any = n_nz > 0
+    eob = ~(has_any & (last_nz[:, -1] == 63))
+    n_sym = 1 + n_nz + zrl_total + eob.astype(i32)  # [B]
+
+    dcat = encode_cat_jax(dc)
+    dadj = jnp.where(dc < 0, dc - 1, dc)
+    dext = (dadj & ((i32(1) << dcat) - 1)).astype(i32)
+
+    # ---- stacked code tables (lo/hi/size bytes, exact in bf16) ---------
+    lo_t = (ehufco & 0xFF).astype(jnp.bfloat16).T  # [256, T]
+    hi_t = ((ehufco >> 8) & 0xFF).astype(jnp.bfloat16).T
+    si_t = ehufsi.astype(jnp.bfloat16).T
+    tbl = jnp.concatenate([lo_t, hi_t, si_t], axis=1)  # [256, 3T]
+    iota256 = jnp.arange(256, dtype=i32)[None, :]
+    iota_nz = jnp.arange(nz_cap, dtype=i32)[None, :]
+    wb_cap = icap + 2
+    iota_wb = jnp.arange(wb_cap, dtype=i32)[None, :]
+
+    # ---- generator: lax.scan over item slots (unrolled x8) -------------
+    # A Python-unrolled loop compiles superlinearly in icap (~2 min at
+    # icap=48 on CPU); lax.scan keeps compile O(1) and unroll=8 restores
+    # the fusion across adjacent slots.
+    z = jnp.zeros(B, i32)
+    zu = jnp.zeros(B, u32)
+    hist0 = jnp.zeros((256, T), jnp.float32)
+    arangeT = jnp.arange(T, dtype=i32)[None, :]
+
+    def emit(sym, exl, exv, tab, valid, state):
+        """Look up (code,size), append to the window, update histogram."""
+        acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
+        oh = (sym[:, None] == iota256).astype(jnp.bfloat16)  # [B, 256]
+        picked = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+        code = picked[:, 0].astype(i32) + picked[:, T].astype(i32) * 256
+        size = picked[:, 2 * T].astype(i32)
+        for t in range(1, T):
+            sel = tab == t
+            code = jnp.where(
+                sel,
+                picked[:, t].astype(i32) + picked[:, T + t].astype(i32) * 256,
+                code,
+            )
+            size = jnp.where(sel, picked[:, 2 * T + t].astype(i32), size)
+        missing = missing | (valid & (size == 0)).any()
+        if with_hist:
+            tab_oh = ((tab[:, None] == arangeT) & valid[:, None]).astype(
+                jnp.bfloat16
+            )
+            hist = hist + jnp.dot(
+                oh.T, tab_oh, preferred_element_type=jnp.float32
+            )
+
+        ln = jnp.where(valid, size + exl, 0)
+        val = jnp.where(
+            valid,
+            (code.astype(u32) << exl.astype(u32)) | exv.astype(u32),
+            u32(0),
+        )
+        # append <=32 bits to the in-register MSB-first window
+        tot = nbf + ln
+        sh_hi = jnp.clip(32 - tot, 0, 31).astype(u32)
+        sh_lo = jnp.clip(tot - 32, 0, 31).astype(u32)
+        acc0 = acc0 | jnp.where(tot <= 32, val << sh_hi, val >> sh_lo)
+        acc1 = acc1 | jnp.where(
+            tot > 32, val << jnp.clip(64 - tot, 0, 31).astype(u32), u32(0)
+        )
+        nbf = tot
+        complete = nbf >= 32
+        words_blk = jnp.where(
+            (iota_wb == wcnt[:, None]) & complete[:, None],
+            acc0[:, None],
+            words_blk,
+        )
+        acc0 = jnp.where(complete, acc1, acc0)
+        acc1 = jnp.where(complete, u32(0), acc1)
+        nbf = jnp.where(complete, nbf - 32, nbf)
+        wcnt = wcnt + complete.astype(i32)
+        return (acc0, acc1, nbf, wcnt, words_blk, missing, hist)
+
+    state = (
+        zu, zu, z, z,
+        jnp.zeros((B, wb_cap), u32),
+        jnp.zeros((), jnp.bool_),
+        hist0,
+    )
+    # slot 0: the DC item (always valid; every block has one)
+    state = emit(dcat, dcat, dext, dc_tab, jnp.ones(B, jnp.bool_), state)
+
+    def ac_step(carry, j):
+        nzi, zc, state = carry
+        valid = j < n_sym
+        nzi_c = jnp.clip(nzi, 0, nz_cap - 1)
+        pay = jnp.where(iota_nz == nzi_c[:, None], s_pay, 0).sum(
+            axis=1, dtype=i32
+        )
+        nzrl_c = (pay >> 29) & 3
+        sym_c = (pay >> 21) & 0xFF
+        cat_c = (pay >> 16) & 0x1F
+        ext_c = pay & 0xFFFF
+        at_nz = nzi < n_nz
+        is_zrl = at_nz & (zc < nzrl_c)
+        is_sym = at_nz & ~is_zrl
+        sym = jnp.where(is_zrl, 0xF0, jnp.where(is_sym, sym_c, 0))
+        exl = jnp.where(is_sym, cat_c, 0)
+        exv = jnp.where(is_sym, ext_c, 0)
+        zc = jnp.where(
+            valid & is_zrl, zc + 1, jnp.where(valid & is_sym, 0, zc)
+        )
+        nzi = nzi + (valid & is_sym).astype(i32)
+        state = emit(sym, exl, exv, ac_tab, valid, state)
+        return (nzi, zc, state), None
+
+    if icap > 1:
+        (_, _, state), _ = jax.lax.scan(
+            ac_step,
+            (z, z, state),
+            jnp.arange(1, icap, dtype=i32),
+            unroll=min(icap - 1, 8),
+        )
+    acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
+
+    has_tail = nbf > 0
+    words_blk = jnp.where(
+        (iota_wb == wcnt[:, None]) & has_tail[:, None],
+        acc0[:, None],
+        words_blk,
+    )
+    n_words = wcnt + has_tail.astype(i32)
+    blk_bits = 32 * wcnt + nbf  # [B] natural
+
+    # ---- segment offsets (bitstream order) -----------------------------
+    if order is None:
+        bits_v, nwords_v, nat_of = blk_bits, n_words, None
+    else:
+        bits_v = jnp.take(blk_bits, order)
+        nwords_v = jnp.take(n_words, order)
+        nat_of = order
+    seg_bits = jax.ops.segment_sum(
+        bits_v, seg_of_block, num_segments=n_segments
+    )
+    seg_base = jnp.cumsum(seg_bits) - seg_bits
+    g_v = jnp.cumsum(bits_v) - bits_v
+    off_in_seg = g_v - jnp.take(seg_base, seg_of_block)
+
+    # ---- compact word stream + merge scatter ---------------------------
+    w_cap = B * wpb_cap
+    wbase = jnp.cumsum(nwords_v) - nwords_v
+    w_total = wbase[-1] + nwords_v[-1]
+    mark = jnp.zeros(w_cap, i32).at[wbase].add(1, mode="drop")
+    iw = jnp.arange(w_cap, dtype=i32)
+    b_of_w = jnp.cumsum(mark) - 1  # bitstream block ordinal of each word
+    startp = jax.lax.cummax(jnp.where(mark > 0, iw, 0))
+    k_in_b = iw - startp
+    valid_w = iw < w_total
+    b_c = jnp.clip(b_of_w, 0, B - 1)
+    nat_row = b_c if nat_of is None else jnp.take(nat_of, b_c)
+    wval = jnp.take(
+        words_blk.reshape(-1),
+        nat_row * wb_cap + jnp.clip(k_in_b, 0, wb_cap - 1),
+        mode="clip",
+    )
+    wval = jnp.where(valid_w, wval, u32(0))
+    bitoff = jnp.take(off_in_seg, b_c) + 32 * k_in_b
+    segw = jnp.take(seg_of_block, b_c)
+    dstbit = segw * (words_per_seg * 32) + bitoff
+    r = (dstbit & 31).astype(u32)
+    wi = dstbit >> 5
+    hi = wval >> r
+    lo = jnp.where(r > 0, wval << (u32(32) - jnp.maximum(r, 1)), u32(0))
+    oob = n_segments * words_per_seg
+    idx = jnp.where(valid_w, wi, oob)
+    flat = jnp.zeros(n_segments * words_per_seg, u32)
+    flat = flat.at[idx].add(hi, mode="drop")
+    flat = flat.at[idx + 1].add(lo, mode="drop")
+    words = flat.reshape(n_segments, words_per_seg)
+
+    overflow = (
+        (n_sym > icap).any().astype(i32)
+        | ((seg_bits > words_per_seg * 32).any().astype(i32) << 1)
+        | ((w_total > w_cap).astype(i32) << 3)
+    )
+    if nz_cap < 63:
+        overflow = overflow | ((n_nz > nz_cap).any().astype(i32) << 2)
+    if with_hist:
+        return words, seg_bits, overflow, missing, hist.T.astype(i32)
+    return words, seg_bits, overflow, missing
+
+
 def visit_zz_and_tables(planes, geom, info, tables, ri: int = 0):
     """Shared host prep for the device/native entropy encoders.
 
@@ -609,10 +882,11 @@ def pack_scan_device(planes, geom, info, tables, ri: int = 0):
     max_blocks_per_seg = int(np.bincount(seg_of).max())
     words_per_seg = (max_blocks_per_seg * 68 * 31) // 32 + 2
 
-    nb = zz.shape[0]
-    items_cap = (nb * 12 + 8191) // 8192 * 8192  # avg ~9 items/block
+    # zz/tabs come back in visit order, so natural == bitstream here and
+    # the v3 engine runs with order=None.
+    icap, nz_cap, wpb = 16, 16, 3
     while True:
-        words, seg_bits, overflow, missing = encode_scan_device2(
+        words, seg_bits, overflow, missing = encode_scan_device3(
             zz,
             dct,
             act,
@@ -621,13 +895,25 @@ def pack_scan_device(planes, geom, info, tables, ri: int = 0):
             seg_of,
             n_segments,
             int(words_per_seg),
-            int(items_cap),
+            icap,
+            nz_cap=nz_cap,
+            wpb_cap=wpb,
         )
-        if not bool(overflow):
+        code = int(overflow)
+        if not code:
             break
-        if items_cap >= nb * 68:  # hard bound: 68 slots per block
-            break
-        items_cap = min(nb * 68, items_cap * 2)
+        grew = False
+        if code & 0b0001 and icap < 68:
+            icap, grew = min(68, icap * 2), True
+        if code & 0b0100 and nz_cap < 63:
+            nz_cap, grew = min(63, nz_cap * 2), True
+        if code & 0b1000 and wpb < 70:
+            wpb, grew = min(70, wpb * 2), True
+        if not grew:
+            raise RuntimeError(
+                f"device encode overflow (code={code:#06b}) at maximum "
+                "capacities"
+            )
     if bool(missing):
         # Same hard failure as the host packer / reference value_to_vlc.
         from ..errors import UnsupportedError

@@ -4,7 +4,7 @@ The mirror of ``device_decode.DeviceDecoder`` and the deployment shape
 for TPU egress: frames that already live in HBM (model outputs, decoded
 video) compress on the chip -- color convert -> box downsample -> FDCT ->
 quantize -> zig-zag/differential-DC -> device entropy encode
-(entropy.encode_jax.encode_scan_device2) -- and only the packed segment
+(entropy.encode_jax.encode_scan_device3) -- and only the packed segment
 words (~compressed size) come back to the host, which finishes with the
 byte-serial work: 1-padding flush, 0xFF byte stuffing, marker assembly
 (all vectorized numpy over the whole batch).
@@ -41,7 +41,7 @@ from ..constants import (
 )
 from ..encoder import EncodeParams, geometry_for_image
 from ..entropy.encode import build_visit_order
-from ..entropy.encode_jax import encode_scan_device2
+from ..entropy.encode_jax import encode_scan_device3
 from ..errors import UnsupportedError
 from ..format import emit
 from ..geometry import FrameGeometry, ScanInfo
@@ -62,8 +62,8 @@ class _Shape:
 @partial(
     jax.jit,
     static_argnames=(
-        "geom", "ri", "frames", "n_segments", "words_per_seg", "items_cap",
-        "nz_cap", "with_hist",
+        "geom", "ri", "frames", "n_segments", "words_per_seg", "icap",
+        "nz_cap", "wpb_cap", "with_hist",
     ),
 )
 def _encode_device(
@@ -71,9 +71,9 @@ def _encode_device(
     qtables,  # [2, 64] int32 (luma, chroma)
     visit_src,  # [Bf] int32: visit order -> row in concat(planes)
     prev_idx,  # [Bf] int32: previous same-component block in segment, -1
-    dc_tab,  # [Bf] int32
-    ac_tab,  # [Bf] int32
-    seg_of,  # [Bf] int32
+    dc_tab,  # [Bf] int32, NATURAL (component-major) order
+    ac_tab,  # [Bf] int32, natural order
+    seg_of,  # [Bf] int32, bitstream (visit) order
     ehufco,  # [T, 256] int32
     ehufsi,  # [T, 256] int32
     geom: FrameGeometry,
@@ -81,8 +81,9 @@ def _encode_device(
     frames: int,
     n_segments: int,  # per frame
     words_per_seg: int,
-    items_cap: int,
-    nz_cap: int = 63,
+    icap: int,
+    nz_cap: int = 16,
+    wpb_cap: int = 2,
     with_hist: bool = False,
 ):
     f = pixels.shape[0]
@@ -139,7 +140,7 @@ def _encode_device(
     order_f = tile(visit_src) + (
         jnp.repeat(jnp.arange(frames, dtype=jnp.int32), bf) * bf
     )
-    return encode_scan_device2(
+    return encode_scan_device3(
         zzf,
         tile(dc_tab),
         tile(ac_tab),
@@ -148,9 +149,10 @@ def _encode_device(
         seg_f,
         frames * n_segments,
         words_per_seg,
-        items_cap,
+        icap,
         order=order_f,
         nz_cap=nz_cap,
+        wpb_cap=wpb_cap,
         with_hist=with_hist,
     )
 
@@ -192,14 +194,16 @@ class DeviceEncoder:
     header: bytes
     visit_src: np.ndarray
     prev_idx: np.ndarray
-    dc_tab: np.ndarray
-    ac_tab: np.ndarray
-    seg_of: np.ndarray
+    dc_tab: np.ndarray  # [Bf] natural (component-major) order
+    ac_tab: np.ndarray  # [Bf] natural order
+    seg_of: np.ndarray  # [Bf] bitstream (visit) order
     ehufco: np.ndarray
     ehufsi: np.ndarray
-    words_per_seg: int
-    items_per_block: int = 12  # sticky item-budget multiplier, grows on overflow
-    nz_cap: int = 16  # sticky per-block nonzero bound (mark-scatter width)
+    words_per_seg: int  # sticky; grows on overflow bit1
+    words_per_seg_max: int = 0  # worst-case bound (hard cap for growth)
+    items_per_block: int = 12  # sticky per-block item-slot cap (icap)
+    nz_cap: int = 16  # sticky per-block nonzero bound
+    wpb_cap: int = 2  # sticky compact-words-per-block capacity
     table_keys: tuple = ()  # (class, id) per stacked code-table row
 
     @staticmethod
@@ -293,6 +297,17 @@ class DeviceEncoder:
         hdr = _build_header(geom, qtables, specs, ri, info)
 
         max_blocks_per_seg = int(np.bincount(seg_of).max())
+        # Natural-order table ids for the v3 block-lane entropy engine.
+        dc_nat = np.empty(comp_idx.size, np.int32)
+        ac_nat = np.empty(comp_idx.size, np.int32)
+        dc_nat[visit_src] = td_arr[comp_idx]
+        ac_nat[visit_src] = ta_arr[comp_idx]
+        # Sticky segment-row width: ~44 bits/block covers photographic
+        # content with margin; grows (x2, capped at worst case) on
+        # overflow.  The worst case (68 slots x 31 bits) would make the
+        # output buffer ~15x larger than ever needed.
+        wps_max = (max_blocks_per_seg * 68 * 31) // 32 + 2
+        wps = min(wps_max, max_blocks_per_seg * 44 // 32 + 4)
         return DeviceEncoder(
             geom=geom,
             info=info,
@@ -302,12 +317,13 @@ class DeviceEncoder:
             header=hdr,
             visit_src=visit_src.astype(np.int32),
             prev_idx=prev_idx.astype(np.int32),
-            dc_tab=td_arr[comp_idx].astype(np.int32),
-            ac_tab=ta_arr[comp_idx].astype(np.int32),
+            dc_tab=dc_nat,
+            ac_tab=ac_nat,
             seg_of=seg_of.astype(np.int32),
             ehufco=ehufco,
             ehufsi=ehufsi,
-            words_per_seg=(max_blocks_per_seg * 68 * 31) // 32 + 2,
+            words_per_seg=wps,
+            words_per_seg_max=wps_max,
             table_keys=tuple(keys),
         )
 
@@ -381,52 +397,63 @@ class DeviceEncoder:
         ):
             return self._encode_batch_inner(pixels, frames, optimize, chunk)
 
+    def _dispatch(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
+        """Queue one device encode (async) with the CURRENT capacities."""
+        return _encode_device(
+            jnp.asarray(pixels),
+            jnp.asarray(self.qtables),
+            jnp.asarray(self.visit_src),
+            jnp.asarray(self.prev_idx),
+            jnp.asarray(self.dc_tab),
+            jnp.asarray(self.ac_tab),
+            jnp.asarray(self.seg_of),
+            jnp.asarray(ehufco),
+            jnp.asarray(ehufsi),
+            self.geom,
+            self.ri,
+            frames,
+            self.n_segments,
+            self.words_per_seg,
+            self.items_per_block,
+            self.nz_cap,
+            self.wpb_cap,
+            with_hist,
+        )
+
+    def _grow(self, code: int) -> bool:
+        """Grow the sticky capacity the overflow code points at."""
+        grew = False
+        if code & 0b0001 and self.items_per_block < 68:
+            self.items_per_block = min(68, self.items_per_block * 2)
+            grew = True
+        if code & 0b0010 and self.words_per_seg < self.words_per_seg_max:
+            self.words_per_seg = min(
+                self.words_per_seg_max, self.words_per_seg * 2
+            )
+            grew = True
+        if code & 0b0100 and self.nz_cap < 63:
+            self.nz_cap = min(63, self.nz_cap * 2)
+            grew = True
+        if code & 0b1000 and self.wpb_cap < 70:
+            self.wpb_cap = min(70, self.wpb_cap * 2)
+            grew = True
+        return grew
+
     def _run(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
         """One device encode with the sticky-capacity retry loop."""
         from ..utils.metrics import default_metrics
 
-        nb = self.visit_src.size * frames
         while True:
-            raw = nb * self.items_per_block
-            quant = 8192 if raw < 262144 else 65536
-            items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
-            res = _encode_device(
-                jnp.asarray(pixels),
-                jnp.asarray(self.qtables),
-                jnp.asarray(self.visit_src),
-                jnp.asarray(self.prev_idx),
-                jnp.asarray(self.dc_tab),
-                jnp.asarray(self.ac_tab),
-                jnp.asarray(self.seg_of),
-                jnp.asarray(ehufco),
-                jnp.asarray(ehufsi),
-                self.geom,
-                self.ri,
-                frames,
-                self.n_segments,
-                self.words_per_seg,
-                items_cap,
-                self.nz_cap,
-                with_hist,
-            )
+            res = self._dispatch(pixels, frames, ehufco, ehufsi, with_hist)
             code = int(res[2])
             if not code:
                 return res
             default_metrics.count("device_encode.cap_retries")
-            grew = False
-            if code & 0b001 and self.items_per_block < 68:
-                self.items_per_block = min(68, self.items_per_block * 2)
-                grew = True
-            if code & 0b100 and self.nz_cap < 63:
-                self.nz_cap = min(63, self.nz_cap * 2)
-                grew = True
-            if not grew:
-                # No capacity left to grow: words_per_seg is sized
-                # worst-case so this is unreachable today, but a silent
-                # return here would ship corrupt segment words -- fail
-                # loudly instead (advisor finding, round 1).
+            if not self._grow(code):
+                # A silent return here would ship corrupt segment words --
+                # fail loudly instead (advisor finding, round 1).
                 raise RuntimeError(
-                    f"device encode overflow (code={code:#05b}) with all "
+                    f"device encode overflow (code={code:#06b}) with all "
                     "capacities at maximum; segment words would be corrupt"
                 )
 

@@ -141,10 +141,6 @@ def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,
     if frames % n:
         raise ValueError(f"frames ({frames}) must divide over 'frame' ({n})")
     fpd = frames // n
-    nb = enc.visit_src.size * fpd
-    raw = nb * enc.items_per_block
-    quant = 8192 if raw < 262144 else 65536
-    items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
     consts = tuple(
         jnp.asarray(a)
         for a in (enc.qtables, enc.visit_src, enc.prev_idx, enc.dc_tab,
@@ -154,8 +150,8 @@ def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,
     def local(pixels, ehufco, ehufsi):
         res = _encode_device(
             pixels, *consts, ehufco, ehufsi, enc.geom, enc.ri, fpd,
-            enc.n_segments, enc.words_per_seg, items_cap, enc.nz_cap,
-            with_hist,
+            enc.n_segments, enc.words_per_seg, enc.items_per_block,
+            enc.nz_cap, enc.wpb_cap, with_hist,
         )
         words, seg_bits, overflow, missing = res[:4]
         out = [words, seg_bits, overflow.reshape(1), missing.reshape(1)]

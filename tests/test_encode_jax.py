@@ -134,3 +134,97 @@ def test_encoder_jax_backend_missing_code():
                     h=1, v=1, quality=100, optimize=False, entropy_backend=backend
                 ),
             )
+
+
+def test_device3_matches_device2_random():
+    """v3 (block-lane generator) vs v2 (item-stream): identical words,
+    seg_bits, histogram, and overflow semantics on random blocks."""
+    import jax.numpy as jnp
+
+    from jpeg_tpu.entropy.encode_jax import (
+        encode_scan_device2,
+        encode_scan_device3,
+    )
+
+    rng = np.random.default_rng(42)
+    B, ICAP, NZ = 48, 20, 12
+    for trial in range(3):
+        nseg = int(rng.integers(1, 5))
+        T = int(rng.integers(1, 5))
+        zz = np.zeros((B, 64), np.int32)
+        for b in range(B):
+            k = int(rng.integers(0, 9))
+            cols = rng.choice(np.arange(1, 64), size=k, replace=False)
+            zz[b, cols] = rng.integers(-255, 256, k)
+        zz[:, 0] = rng.integers(-100, 101, B)
+        dc_tab = rng.integers(0, T, B).astype(np.int32)
+        ac_tab = rng.integers(0, T, B).astype(np.int32)
+        ehufsi = rng.integers(2, 16, (T, 256)).astype(np.int32)
+        ehufco = (
+            rng.integers(0, 1 << 15, (T, 256)) & ((1 << ehufsi) - 1)
+        ).astype(np.int32)
+        seg_of = np.maximum.accumulate(
+            np.sort(rng.integers(0, nseg, B))
+        ).astype(np.int32)
+        seg_of[0] = 0
+        nseg = int(seg_of.max()) + 1
+        order = rng.permutation(B).astype(np.int32)
+        wps = 512
+        w2, sb2, ov2, m2 = encode_scan_device2(
+            jnp.asarray(zz), jnp.asarray(np.take(dc_tab, order)),
+            jnp.asarray(np.take(ac_tab, order)),
+            jnp.asarray(ehufco), jnp.asarray(ehufsi),
+            jnp.asarray(seg_of), nseg, wps, B * 68,
+            order=jnp.asarray(order), nz_cap=63,
+        )
+        w3, sb3, ov3, m3 = encode_scan_device3(
+            jnp.asarray(zz), jnp.asarray(dc_tab), jnp.asarray(ac_tab),
+            jnp.asarray(ehufco), jnp.asarray(ehufsi),
+            jnp.asarray(seg_of), nseg, wps, ICAP,
+            order=jnp.asarray(order), nz_cap=NZ, wpb_cap=24,
+        )
+        assert int(ov3) == 0
+        sb2, sb3 = np.asarray(sb2), np.asarray(sb3)
+        assert (sb2 == sb3).all()
+        w2, w3 = np.asarray(w2), np.asarray(w3)
+        for s in range(nseg):
+            nw = (sb2[s] + 31) // 32
+            assert (w2[s, :nw] == w3[s, :nw]).all()
+        assert bool(m2) == bool(m3)
+
+
+def test_device3_overflow_flags():
+    """Each capacity bound trips its own overflow bit."""
+    import jax.numpy as jnp
+
+    from jpeg_tpu.entropy.encode_jax import encode_scan_device3
+
+    rng = np.random.default_rng(9)
+    B, T = 32, 2
+    zz = np.zeros((B, 64), np.int32)
+    for b in range(B):
+        cols = rng.choice(np.arange(1, 64), size=6, replace=False)
+        zz[b, cols] = rng.integers(-40, 41, 6)
+    zz[:, 0] = rng.integers(-30, 31, B)
+    args = (
+        jnp.asarray(zz),
+        jnp.asarray(rng.integers(0, T, B).astype(np.int32)),
+        jnp.asarray(rng.integers(0, T, B).astype(np.int32)),
+    )
+    ehufsi = rng.integers(2, 16, (T, 256)).astype(np.int32)
+    ehufco = (
+        rng.integers(0, 1 << 15, (T, 256)) & ((1 << ehufsi) - 1)
+    ).astype(np.int32)
+    tabs = (jnp.asarray(ehufco), jnp.asarray(ehufsi))
+    seg = jnp.asarray(np.zeros(B, np.int32))
+    ok = encode_scan_device3(*args, *tabs, seg, 1, 2048, 20,
+                             nz_cap=12, wpb_cap=24)
+    assert int(ok[2]) == 0
+    assert int(encode_scan_device3(*args, *tabs, seg, 1, 2048, 4,
+                                   nz_cap=12, wpb_cap=24)[2]) & 1
+    assert int(encode_scan_device3(*args, *tabs, seg, 1, 2, 20,
+                                   nz_cap=12, wpb_cap=24)[2]) & 2
+    assert int(encode_scan_device3(*args, *tabs, seg, 1, 2048, 20,
+                                   nz_cap=4, wpb_cap=24)[2]) & 4
+    assert int(encode_scan_device3(*args, *tabs, seg, 1, 2048, 20,
+                                   nz_cap=12, wpb_cap=1)[2]) & 8

@@ -3,34 +3,57 @@
 Usage: python tools/profile_encode.py [frames] [chunk]
 Times (a) full DeviceEncoder.encode_batch, (b) the dense stage alone
 (pixels -> differential zig-zag blocks), (c) encode_scan_device2 alone,
-to locate the bottleneck.  Best-of-N within one process (the shared box
-jitters; see CLAUDE.md).
+(d) host finalize, on the SAME frame content bench.py uses.  Syncs via a
+tiny on-device reduction (full device_get would ride the ~25 MB/s dev
+tunnel and swamp the numbers).
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
-
 from jpeg_tpu.encoder import EncodeParams
 from jpeg_tpu.models import device_encode as de
-from jpeg_tpu.entropy.encode_jax import encode_scan_device2
+from jpeg_tpu.entropy.encode_jax import encode_scan_device3
 
 H, W = 1080, 1920
 FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
 
-def sync(x):
-    jax.tree_util.tree_map(
-        lambda a: np.asarray(jax.device_get(a)).ravel()[:1].sum(), x
+def make_frame(seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.5 * np.sin(xx / 37.0 + seed) * np.cos(yy / 23.0),
+            (xx + yy) / (W + H),
+            0.5 + 0.5 * np.cos(xx / 61.0 - yy / 41.0),
+        ],
+        axis=-1,
     )
+    img += rng.normal(0, 0.02, img.shape).astype(np.float32)
+    return np.clip(np.round(img * 255), 0, 255).astype(np.uint8)
+
+
+@jax.jit
+def _sum1(x):
+    return jnp.sum(x.astype(jnp.float32).ravel()[:1024])
+
+
+def sync(x):
+    leaves = [a for a in jax.tree_util.tree_leaves(x) if hasattr(a, "shape")]
+    vals = [float(_sum1(a)) for a in leaves]
+    return vals
 
 
 def best_of(fn, n=5):
@@ -44,11 +67,9 @@ def best_of(fn, n=5):
 
 def main():
     print("devices:", jax.devices())
-    rng = np.random.default_rng(0)
-    base = rng.integers(0, 256, size=(4, H, W, 3), dtype=np.uint8)
-    pixels_h = np.concatenate([base] * (FRAMES // 4 + 1))[:FRAMES]
+    pixels_h = np.stack([make_frame(s % 16) for s in range(FRAMES)])
     params = EncodeParams(h=2, v=2, optimize=False, exact=False,
-                          restart_interval=8)
+                          restart_interval=4)
     enc = de.DeviceEncoder.for_config(H, W, 3, params)
     print(f"n_segments/frame={enc.n_segments} blocks/frame={enc.visit_src.size}")
 
@@ -59,20 +80,18 @@ def main():
     t0 = time.perf_counter()
     out = enc.encode_batch(pixels, chunk=CHUNK)
     print(f"compile+first encode_batch: {time.perf_counter()-t0:.2f}s, "
-          f"{sum(map(len, out))/1e6:.1f} MB out")
+          f"{sum(map(len, out))/1e6:.1f} MB out "
+          f"(items/block={enc.items_per_block}, nz_cap={enc.nz_cap})")
     t = best_of(lambda: enc.encode_batch(pixels, chunk=CHUNK), 4)
     mpix = FRAMES * H * W / 1e6
     print(f"encode_batch: {t*1e3:.1f} ms -> {mpix/t:.1f} Mpix/s")
 
     # ---- dense-only: pixels -> zz --------------------------------------
-    geom, ri = enc.geom, enc.ri
+    geom = enc.geom
     nseg, wps = enc.n_segments, enc.words_per_seg
 
-    import functools
-
     @functools.partial(jax.jit, static_argnames=("frames",))
-    def dense_only(pixels, qtables, visit_src, prev_idx, frames):
-        # replicate _encode_device up to zz (keep in sync manually)
+    def dense_only(pixels, qtables, prev_idx, frames):
         f = pixels.shape[0]
         x = pixels.astype(jnp.float32)
         pad_y = geom.size_y - geom.height
@@ -108,8 +127,7 @@ def main():
         )
         return jnp.concatenate([(dc - prev)[:, :, None], zz[:, :, 1:]], axis=2)
 
-    args = (pixels[:CHUNK], jnp.asarray(enc.qtables), jnp.asarray(enc.visit_src),
-            jnp.asarray(enc.prev_idx))
+    args = (pixels[:CHUNK], jnp.asarray(enc.qtables), jnp.asarray(enc.prev_idx))
     zz = dense_only(*args, frames=CHUNK)
     sync(zz)
     t = best_of(lambda: sync(dense_only(*args, frames=CHUNK)), 5)
@@ -127,18 +145,15 @@ def main():
     order_f = tile(enc.visit_src) + (
         jnp.repeat(jnp.arange(f, dtype=jnp.int32), bf) * bf
     )
-    nb = bf * f
-    raw = nb * enc.items_per_block
-    quant = 8192 if raw < 262144 else 65536
-    items_cap = min(nb * 68, (raw + quant - 1) // quant * quant)
-    print(f"items_cap={items_cap} ({items_cap/nb:.1f}/block), nz_cap={enc.nz_cap}")
+    print(f"icap={enc.items_per_block}, nz_cap={enc.nz_cap}, "
+          f"wpb_cap={enc.wpb_cap}, wps={enc.words_per_seg}")
 
-    def ent():
-        res = encode_scan_device2(
+    def ent(sync_words=False):
+        res = encode_scan_device3(
             zzf, tile(enc.dc_tab), tile(enc.ac_tab),
             jnp.asarray(enc.ehufco), jnp.asarray(enc.ehufsi),
-            seg_f, f * nseg, wps, items_cap, order=order_f,
-            nz_cap=enc.nz_cap, with_hist=False,
+            seg_f, f * nseg, wps, enc.items_per_block, order=order_f,
+            nz_cap=enc.nz_cap, wpb_cap=enc.wpb_cap, with_hist=False,
         )
         sync(res[:2])
         return res
@@ -148,10 +163,15 @@ def main():
     t = best_of(ent, 5)
     print(f"entropy only ({CHUNK}f): {t*1e3:.1f} ms -> {mpix_c/t:.1f} Mpix/s")
 
-    # ---- host finalize -------------------------------------------------
-    words, seg_bits = np.asarray(r[0]), np.asarray(r[1])
+    # ---- words transfer + host finalize --------------------------------
+    seg_bits = np.asarray(r[1])
     w_used = max(1, int((seg_bits.max() + 31) // 32))
-    t = best_of(lambda: enc._finalize(words[:, :w_used], seg_bits, f), 3)
+    t0 = time.perf_counter()
+    words_h = np.asarray(r[0][:, :w_used])
+    t_xfer = time.perf_counter() - t0
+    print(f"words transfer ({CHUNK}f, {words_h.nbytes/1e6:.1f} MB): "
+          f"{t_xfer*1e3:.1f} ms -> {mpix_c/t_xfer:.1f} Mpix/s")
+    t = best_of(lambda: enc._finalize(words_h, seg_bits, f), 3)
     print(f"host finalize ({CHUNK}f): {t*1e3:.1f} ms -> {mpix_c/t:.1f} Mpix/s")
 
 
