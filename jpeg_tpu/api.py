@@ -170,6 +170,15 @@ def decode_coefficients(
             n = decode_scan_lockstep_jax(
                 geom, scan.info, tables, segments, planes
             )
+        elif backend == "speculative":
+            # RST-less sequence parallelism: chunked self-synchronizing
+            # decode (SURVEY §2.2 row 4); falls back to the serial
+            # oracle when a stream defeats resolution.
+            from .entropy.speculative import decode_scan_speculative
+
+            n = decode_scan_speculative(
+                geom, scan.info, tables, segments, planes
+            )
         else:
             raise UnsupportedError(f"unknown entropy backend {entropy!r}")
         cs.mcus_decoded.append(int(n))

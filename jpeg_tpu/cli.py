@@ -151,7 +151,7 @@ def main(argv=None) -> int:
     d.add_argument("--fast", action="store_true", help="fast f32 path (not bit-exact)")
     d.add_argument("--entropy", default="auto",
                    choices=["auto", "serial", "lockstep", "lockstep-jax",
-                            "native"])
+                            "native", "speculative"])
     d.add_argument("-v", "--verbose", action="store_true",
                    help="print qtables, comments, MCU counts, trailing "
                         "garbage (the reference's stdout narration)")

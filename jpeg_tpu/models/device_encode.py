@@ -157,6 +157,33 @@ def _encode_device(
     )
 
 
+@partial(jax.jit, static_argnames=("tw_cap",))
+def _compact_segment_words(words, seg_bits, tw_cap: int):
+    """[nseg, wps] padded rows -> tight flat word stream (+ total).
+
+    The device->host pull then moves ~the compressed size instead of the
+    padded matrix (the dev tunnel here is ~25 MB/s; even on PCIe it's
+    free bandwidth).  Inverse map = one nseg-attempt mark scatter +
+    cumsum; a single flat gather reads the live words.
+    """
+    nseg, wps = words.shape
+    nw = (seg_bits + 31) >> 5  # words used per segment
+    base = jnp.cumsum(nw) - nw
+    total = base[-1] + nw[-1]
+    mark = jnp.zeros(tw_cap, jnp.int32).at[base].add(1, mode="drop")
+    it = jnp.arange(tw_cap, dtype=jnp.int32)
+    s_of = jnp.clip(jnp.cumsum(mark) - 1, 0, nseg - 1)
+    startp = jax.lax.cummax(jnp.where(mark > 0, it, 0))
+    k = it - startp
+    valid = it < total
+    flat = jnp.take(
+        words.reshape(-1),
+        s_of * wps + jnp.clip(k, 0, wps - 1),
+        mode="clip",
+    )
+    return jnp.where(valid, flat, jnp.uint32(0)), total
+
+
 def _build_header(geom, qtables, specs, ri, info) -> bytes:
     """SOI..SOS marker bytes for the given qtables/Huffman specs."""
     hdr = bytearray()
@@ -204,6 +231,7 @@ class DeviceEncoder:
     items_per_block: int = 12  # sticky per-block item-slot cap (icap)
     nz_cap: int = 16  # sticky per-block nonzero bound
     wpb_cap: int = 2  # sticky compact-words-per-block capacity
+    tw_per_seg: int = 0  # sticky transfer-compaction words/segment (0=auto)
     table_keys: tuple = ()  # (class, id) per stacked code-table row
 
     @staticmethod
@@ -375,7 +403,7 @@ class DeviceEncoder:
         return out
 
     def encode_batch(
-        self, pixels, optimize: bool = False, chunk: int = 16
+        self, pixels, optimize: bool = False, chunk: int = 8
     ) -> List[bytes]:
         """[F, H, W, C] uint8 (numpy or device-resident) -> JPEG bytes.
 
@@ -499,20 +527,66 @@ class DeviceEncoder:
             header = _build_header(
                 self.geom, self.qtables, specs, self.ri, self.info
             )
-        out: List[bytes] = []
+        # Pipelined drain: queue every chunk's device work up front (the
+        # first chunk runs the sync retry loop so sticky capacities are
+        # warm), start host copies async, then finalize in order -- the
+        # host-side trim/stuff/assemble of chunk k overlaps the device
+        # encode and transfer of chunks k+1....
+        if not self.tw_per_seg:
+            self.tw_per_seg = (max(8, self.words_per_seg * 3 // 4) + 7) // 8 * 8
+        pending = []
         for lo, hi in spans:
-            words, seg_bits, _, missing = self._run(
-                pixels[lo:hi], hi - lo, ehufco, ehufsi, False
-            )
-            if bool(missing):
+            if not pending:
+                res = self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, False)
+            else:
+                res = self._dispatch(
+                    pixels[lo:hi], hi - lo, ehufco, ehufsi, False
+                )
+            # Device-side transfer compaction: pull ~compressed bytes,
+            # not the padded row matrix.
+            tw_cap = (hi - lo) * self.n_segments * self.tw_per_seg
+            flat, total = _compact_segment_words(res[0], res[1], tw_cap)
+            for a in (flat, res[1], total):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            pending.append((lo, hi, res, flat, total, tw_cap))
+        out: List[bytes] = []
+        for lo, hi, res, flat, total, tw_cap in pending:
+            code = int(res[2])
+            if code:
+                # A later chunk overflowed capacities the first chunk's
+                # content never reached: grow and re-run just this chunk.
+                if not self._grow(code):
+                    raise RuntimeError(
+                        f"device encode overflow (code={code:#06b}) with "
+                        "all capacities at maximum"
+                    )
+                res = self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, False)
+                flat = total = None
+            if bool(res[3]):
                 raise UnsupportedError(
                     "a symbol has no code in the selected Huffman tables "
                     "(content exceeds table range; use optimize=True)"
                 )
-            seg_bits = np.asarray(seg_bits)
-            w_used = max(1, int((seg_bits.max() + 31) // 32))
-            words_h = np.asarray(words[:, :w_used])
-            out.extend(self._finalize(words_h, seg_bits, hi - lo, header))
+            seg_bits = np.asarray(res[1])
+            total_h = 0 if total is None else int(total)
+            if flat is not None and total_h <= tw_cap:
+                flat_h = np.asarray(flat)
+                out.extend(
+                    self._finalize_flat(flat_h, seg_bits, hi - lo, header)
+                )
+            else:
+                # Compaction capacity missed (or chunk re-ran): fall back
+                # to the padded pull, and teach the sticky estimate.
+                w_used = max(1, int((seg_bits.max() + 31) // 32))
+                words_h = np.asarray(res[0])[:, :w_used]
+                out.extend(self._finalize(words_h, seg_bits, hi - lo, header))
+            nseg_c = (hi - lo) * self.n_segments
+            need = -(-int(((seg_bits + 31) // 32).sum()) // nseg_c) + 2
+            # quantize (multiples of 8) so the jit cache sees few sizes
+            self.tw_per_seg = max(self.tw_per_seg, (need + 7) // 8 * 8)
         return out
 
     def _finalize(self, words: np.ndarray, seg_bits: np.ndarray, frames: int,
@@ -530,6 +604,32 @@ class DeviceEncoder:
         # One stuffing pass over every segment's live bytes.
         live = np.arange(w * 4)[None, :] < nbytes[:, None]
         flat = arr[live]  # concatenated trimmed segments
+        return self._assemble(flat, nbytes, frames, header)
+
+    def _finalize_flat(self, flat_words: np.ndarray, seg_bits: np.ndarray,
+                       frames: int, header: bytes = b""):
+        """_finalize for the device-compacted word stream (no padded
+        matrix): per-segment live bytes come straight from word offsets."""
+        nbytes = (seg_bits + 7) // 8
+        nw = (seg_bits + 31) // 32
+        base = np.cumsum(nw) - nw
+        arr = np.ascontiguousarray(flat_words[: int(nw.sum())]).byteswap(
+        ).view(np.uint8)
+        if arr.size == 0:
+            return self._assemble(arr, nbytes, frames, header)
+        pad = nbytes * 8 - seg_bits
+        lastpos = np.minimum(4 * base + np.maximum(nbytes - 1, 0),
+                             arr.size - 1)
+        padded_last = arr[lastpos] | ((1 << pad) - 1).astype(np.uint8)
+        arr[lastpos] = np.where(nbytes > 0, padded_last, arr[lastpos])
+        off = np.arange(arr.size) - np.repeat(4 * base, 4 * nw)
+        live = off < np.repeat(nbytes, 4 * nw)
+        return self._assemble(arr[live], nbytes, frames, header)
+
+    def _assemble(self, flat: np.ndarray, nbytes: np.ndarray, frames: int,
+                  header: bytes = b""):
+        """Shared tail: byte-stuff the concatenated live segment bytes,
+        then drop RSTn/EOI markers into the per-frame gaps."""
         ends = np.cumsum(nbytes)
         is_ff = flat == 0xFF
         out = np.zeros(flat.size + int(is_ff.sum()), dtype=np.uint8)

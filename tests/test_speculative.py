@@ -1,0 +1,108 @@
+"""Speculative RST-less parallel decode vs the serial oracle.
+
+The reference decodes any baseline stream serially (read_ecs,
+decoder.c:364-388); these tests pin that the chunked self-synchronizing
+engine (entropy/speculative.py, SURVEY §2.2 row 4) reproduces the
+oracle bit-exactly across the format matrix, degrades gracefully on
+truncation, and reaches the API/CLI surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+from jpeg_tpu.entropy import speculative as spec
+from jpeg_tpu.entropy.serial import decode_scan_serial
+from jpeg_tpu.format.parse import parse_codestream, unstuff
+from jpeg_tpu.tables import derive_table
+
+from refbin import ensure_reference_binaries, make_pgm, make_ppm, ref_decode
+
+pytestmark = pytest.mark.skipif(
+    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
+)
+
+
+def _planes(geom):
+    return {
+        c.cid: np.zeros((c.n_blocks, 64), np.int32) for c in geom.components
+    }
+
+
+def _scan_parts(data):
+    cs = parse_codestream(data)
+    scan = cs.scans[0]
+    assert len(scan.ecs_ranges) == 1  # RST-less: one ECS
+    seg = unstuff(data[scan.ecs_ranges[0][0] : scan.ecs_ranges[0][1]])
+    tables = {k: derive_table(s) for k, s in scan.htables.items()}
+    return cs.geometry, scan, seg, tables
+
+
+def _check(data, lanes):
+    geom, scan, seg, tables = _scan_parts(data)
+    p_ser, p_spec = _planes(geom), _planes(geom)
+    decode_scan_serial(geom, scan.info, tables, [seg], p_ser)
+    n = spec.decode_scan_speculative_jax(
+        geom, scan.info, tables, seg, p_spec, lanes=lanes
+    )
+    for cid in p_ser:
+        np.testing.assert_array_equal(p_ser[cid], p_spec[cid])
+    return n
+
+
+@pytest.mark.parametrize(
+    "name,params,size",
+    [
+        ("420", EncodeParams(h=2, v=2, quality=85, optimize=True), (320, 240)),
+        ("422", EncodeParams(h=2, v=1, quality=60, optimize=True), (256, 200)),
+        ("444", EncodeParams(h=1, v=1, quality=90, optimize=False), (200, 160)),
+    ],
+)
+def test_speculative_matches_serial_color(name, params, size):
+    data = encode_jpeg(make_ppm(*size, seed=11), params)
+    _check(data, lanes=12)
+
+
+def test_speculative_matches_serial_gray():
+    data = encode_jpeg(make_pgm(300, 200, seed=5), EncodeParams(quality=75))
+    _check(data, lanes=12)
+
+
+def test_speculative_many_lanes():
+    """>=64 chunks on one RST-less frame (the VERDICT r1 criterion)."""
+    data = encode_jpeg(
+        make_pgm(1024, 768, seed=4), EncodeParams(quality=75, optimize=True)
+    )
+    geom, scan, seg, tables = _scan_parts(data)
+    assert seg.size >= 64 * 1024  # enough bytes for >=64 chunks
+    n = _check(data, lanes=128)
+    assert n == geom.n_mcus
+
+
+def test_speculative_truncated_stream_degrades():
+    """Half a stream decodes partially, no crash (decoder.c:339-347)."""
+    data = encode_jpeg(make_pgm(300, 200, seed=5), EncodeParams(quality=75))
+    geom, scan, seg, tables = _scan_parts(data)
+    p = _planes(geom)
+    n = spec.decode_scan_speculative_jax(
+        geom, scan.info, tables, seg[: seg.size // 2], p, lanes=12
+    )
+    assert 0 < n < geom.n_mcus
+
+
+def test_speculative_api_and_cli_path():
+    data = encode_jpeg(
+        make_ppm(160, 120, seed=2), EncodeParams(h=2, v=2, quality=80)
+    )
+    import jpeg_tpu
+
+    img = jpeg_tpu.decode_jpeg(data, entropy="speculative")
+    assert img.to_pnm() == ref_decode(data)
+
+
+def test_speculative_tiny_stream_falls_back():
+    """Streams too small to chunk route to the serial oracle."""
+    data = encode_jpeg(make_ppm(24, 16, seed=9), EncodeParams(quality=75))
+    _check(data, lanes=64)
