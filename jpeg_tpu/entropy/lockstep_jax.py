@@ -399,26 +399,14 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry)
     return carry, (em_key, em_val)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("plan", "max_steps", "total_blocks", "frames", "segs_per_frame"),
-)
-def decode_scan_device(
-    plan: ScanPlan,
-    words: jnp.ndarray,  # [S, Wn] uint32 big-endian segment words
-    nbits: jnp.ndarray,  # [S] int32
-    max_steps: int,
-    total_blocks: int,  # blocks per frame
-    frames: int = 1,
-    segs_per_frame: int = 0,  # 0 -> S (single frame)
-):
-    """On-device scan decode -> (counts[S], coeffs[frames*total_blocks, 64]).
+def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int):
+    """Run the lockstep symbol scan over all lanes (no placement).
 
-    With frames > 1, lanes are grouped per frame (segs_per_frame each) and
-    MCU prefix sums reset per frame -- the Motion-JPEG batch path.
+    Returns (mcu_counts [S], (em_key, em_val) [steps, S], starved).
+    Split out so cross-chip callers can inject global placement offsets
+    (parallel/sharding.make_sharded_frame_decoder).
     """
     S = words.shape[0]
-    spf = segs_per_frame or S
     words_t = words.T  # [Wn, S]: refill loop reads contiguous rows
     vpad = ((plan.max_codes + 63) // 64) * 64
     hv_cols = jnp.asarray(plan.huffval[:, :vpad].astype(np.float32)).astype(
@@ -447,10 +435,34 @@ def decode_scan_device(
     carry, (em_key, em_val) = jax.lax.scan(
         step, init, None, length=max_steps, unroll=UNROLL
     )
-    mcu_counts = carry[2]
     # True when some lane still had symbols left: the caller's optimistic
     # step bound was too small and must retry with a larger one.
-    starved = carry[1].any()
+    return carry[2], (em_key, em_val), carry[1].any()
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "max_steps", "total_blocks", "frames", "segs_per_frame"),
+)
+def decode_scan_device(
+    plan: ScanPlan,
+    words: jnp.ndarray,  # [S, Wn] uint32 big-endian segment words
+    nbits: jnp.ndarray,  # [S] int32
+    max_steps: int,
+    total_blocks: int,  # blocks per frame
+    frames: int = 1,
+    segs_per_frame: int = 0,  # 0 -> S (single frame)
+):
+    """On-device scan decode -> (counts[S], coeffs[frames*total_blocks, 64]).
+
+    With frames > 1, lanes are grouped per frame (segs_per_frame each) and
+    MCU prefix sums reset per frame -- the Motion-JPEG batch path.
+    """
+    S = words.shape[0]
+    spf = segs_per_frame or S
+    mcu_counts, (em_key, em_val), starved = _scan_lanes(
+        plan, words, nbits, max_steps
+    )
     coeffs = _place_emissions(
         plan, mcu_counts, [(em_key, em_val)], frames, spf, total_blocks,
     )
@@ -458,7 +470,7 @@ def decode_scan_device(
 
 
 def _place_emissions(
-    plan, mcu_counts, streams, frames, spf, total_blocks,
+    plan, mcu_counts, streams, frames, spf, total_blocks, seg_offset=None,
 ):
     """Global placement: prefix-sum of per-lane MCU counts + flat scatters.
 
@@ -472,8 +484,9 @@ def _place_emissions(
     1-D flat add is the cheapest form).
     """
     S = mcu_counts.shape[0]
-    per_frame = mcu_counts.reshape(frames, spf)
-    seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
+    if seg_offset is None:
+        per_frame = mcu_counts.reshape(frames, spf)
+        seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
     # [1, S] rows broadcast over steps; frame base folded into seg row base.
     frame_base = (jnp.arange(S, dtype=jnp.int32) // spf) * total_blocks
 

@@ -26,27 +26,57 @@ from .errors import JpegError
 def split_stream(data: bytes) -> List[bytes]:
     """Split concatenated JPEG frames on SOI..EOI boundaries.
 
-    EOI markers inside entropy-coded data can't occur (byte stuffing maps
-    payload 0xFF to 0xFF00, io.c:277-290), so scanning for FFD8/FFD9
-    pairs is exact for baseline streams.
+    Marker-aware: length-prefixed segment payloads are skipped, so an
+    EXIF/APPn-embedded thumbnail (which contains its own SOI/EOI) cannot
+    mis-split the parent frame.  Inside entropy-coded data only stuffed
+    0xFF00 and RSTn bytes occur (io.c:277-290), which the candidate mask
+    excludes -- so the scan is exact for baseline streams, and a
+    vectorized prepass keeps the Python walk at marker granularity.
     """
     buf = np.frombuffer(data, dtype=np.uint8)
-    if buf.size < 4:
+    n = buf.size
+    if n < 4:
         return []
-    is_ff = buf[:-1] == 0xFF
-    soi = np.nonzero(is_ff & (buf[1:] == 0xD8))[0]
-    eoi = np.nonzero(is_ff & (buf[1:] == 0xD9))[0]
+    nxt = buf[1:]
+    is_marker = (
+        (buf[:-1] == 0xFF)
+        & (nxt != 0x00)  # stuffed 0xFF inside ECS
+        & (nxt != 0xFF)  # fill bytes (io.c:196-214)
+        & ~((nxt >= 0xD0) & (nxt <= 0xD7))  # RSTn: ECS continues
+    )
+    cand = np.nonzero(is_marker)[0]
     frames: List[bytes] = []
-    start_idx = 0
-    used_eoi = -1
-    for s in soi:
-        if s <= used_eoi:
-            continue  # SOI inside a previous frame's span (shouldn't happen)
-        nxt = eoi[np.searchsorted(eoi, s)] if np.searchsorted(eoi, s) < eoi.size else None
-        if nxt is None:
+    p = 0
+    start: Optional[int] = None
+    while True:
+        ci = int(np.searchsorted(cand, p))
+        if ci >= cand.size:
             break
-        frames.append(data[s : int(nxt) + 2])
-        used_eoi = int(nxt)
+        pos = int(cand[ci])
+        m = int(buf[pos + 1])
+        if start is None:
+            p = pos + 2
+            if m == 0xD8:
+                start = pos
+            continue
+        if m == 0xD9:  # EOI
+            frames.append(data[start : pos + 2])
+            start = None
+            p = pos + 2
+            continue
+        if m in (0xD8, 0x01):  # stray SOI / TEM: no payload
+            p = pos + 2
+            continue
+        if pos + 4 > n:
+            break
+        seglen = (int(buf[pos + 2]) << 8) | int(buf[pos + 3])
+        if seglen < 2:
+            p = pos + 2
+            continue
+        # Skip the payload (this is what hides embedded thumbnails);
+        # after SOS the ECS follows and the candidate mask already
+        # steps over stuffing and restart markers.
+        p = pos + 2 + seglen
     return frames
 
 

@@ -310,13 +310,25 @@ class DeviceDecoder:
         with default_metrics.stage("device_decode.batch", items=px):
             flight = []
             for lo, hi in chunks:
-                with trace("device_decode.prepare"):
-                    prepared = self.prepare(jpegs[lo:hi])
-                with trace("device_decode.dispatch"):
-                    out, starved, steps = self._decode_prepared(prepared, hi - lo)
+                try:
+                    with trace("device_decode.prepare"):
+                        prepared = self.prepare(jpegs[lo:hi])
+                    with trace("device_decode.dispatch"):
+                        out, starved, steps = self._decode_prepared(
+                            prepared, hi - lo
+                        )
+                except UnsupportedError:
+                    # Mixed stream: a frame's tables/geometry differ from
+                    # the compiled stream shape.  Degrade this chunk to
+                    # the per-frame path instead of killing the batch
+                    # (SURVEY §5 failure-isolation row).
+                    default_metrics.count("device_decode.mixed_fallbacks")
+                    out = self._fallback_chunk(jpegs[lo:hi])
+                    flight.append([out, False, 0, None, hi - lo])
+                    continue
                 flight.append([out, starved, steps, prepared, hi - lo])
             for rec in flight:  # lazy starvation sweep (syncs only here)
-                while bool(rec[1]):
+                while rec[3] is not None and bool(rec[1]):
                     default_metrics.count("device_decode.starve_retries")
                     nb64 = rec[3][3].astype(np.int64)
                     hard_cap = _max_steps_for(
@@ -329,3 +341,23 @@ class DeviceDecoder:
                 self.max_steps = max(self.max_steps, rec[2])
             outs = [rec[0] for rec in flight]
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def _fallback_chunk(self, jpegs: Sequence[bytes]):
+        """Per-frame decode for frames the compiled batch path rejects
+        (different Huffman tables or sampling than the stream's); sizes
+        must still match so the batch can concatenate."""
+        from ..api import decode_jpeg
+
+        g = self.geom
+        c = 3 if g.nf >= 3 else 1
+        dt = np.uint8 if g.precision <= 8 else np.uint16
+        rows = []
+        for f in jpegs:
+            img = decode_jpeg(f, exact=False)
+            px = img.pixels().astype(dt)
+            if px.shape != (g.height, g.width, c):
+                raise UnsupportedError(
+                    "mixed-size frame in batch: decode it separately"
+                )
+            rows.append(px)
+        return jnp.asarray(np.stack(rows))

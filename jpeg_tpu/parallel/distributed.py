@@ -70,11 +70,18 @@ def shard_frames(
 def global_frame_batch(local_batch, mesh_axis: str = "frame"):
     """Assemble a process-spanning global array from per-host batches.
 
-    ``local_batch`` is this process's device array [F_local, H, W, C]
-    (e.g. a DeviceDecoder output).  The result is a global jax.Array of
-    shape [F_local * num_processes, H, W, C] sharded over all addressable
-    + non-addressable devices along the frame axis, ready for pjit'ed
-    consumers.  Single-process: returns local_batch unchanged.
+    ``local_batch`` is this process's [F_local, H, W, C] batch (numpy or
+    device array; e.g. a DeviceDecoder output).  The result is a global
+    jax.Array of shape [F_local * num_processes, H, W, C] sharded over
+    the ('frame', 'chip') process mesh -- each host's shard replicated
+    over its own chips, so pjit'ed consumers see one logical batch.
+    Single-process: returns local_batch unchanged.
+
+    (Round-1 advisor fix: the old form handed ONE single-device shard to
+    make_array_from_single_device_arrays, which is wrong whenever a host
+    has more than one addressable device;
+    ``make_array_from_process_local_data`` places the local data across
+    every addressable device the sharding expects.)
     """
     if jax.process_count() == 1:
         return local_batch
@@ -82,13 +89,7 @@ def global_frame_batch(local_batch, mesh_axis: str = "frame"):
 
     devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
     mesh = Mesh(devs, axis_names=(mesh_axis, "chip"))
-    global_shape = (
-        local_batch.shape[0] * jax.process_count(),
-    ) + tuple(local_batch.shape[1:])
     sharding = NamedSharding(mesh, P(mesh_axis))
-    # Per-host shards: the local batch lives on this host's first chip.
-    return jax.make_array_from_single_device_arrays(
-        global_shape,
-        sharding,
-        [local_batch],
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_batch)
     )

@@ -100,7 +100,11 @@ def make_sharded_stream_decoder(
 
     n = mesh.shape["frame"]
     if frames % n:
-        raise ValueError(f"frames ({frames}) must divide over 'frame' ({n})")
+        raise ValueError(
+            f"frames ({frames}) must divide over 'frame' ({n}); for a "
+            "single frame use make_sharded_frame_decoder (segments shard "
+            "across chips instead)"
+        )
     fpd = frames // n
 
     def local(words, nbits, qtables):
@@ -117,6 +121,111 @@ def make_sharded_stream_decoder(
         check_vma=False,  # scatter ops defeat the varying-axes checker
     )
     return jax.jit(fn)
+
+
+def make_sharded_frame_decoder(
+    plan, mesh: Mesh, n_segments: int, max_steps: int, total_blocks: int,
+    axis: str = "frame",
+):
+    """ONE frame's restart segments shard across chips (true context
+    parallelism, SURVEY §2.2 row 6).
+
+    Each device lockstep-decodes its contiguous slice of the frame's
+    segment lanes; the global placement offsets are the exclusive
+    prefix-sum of per-lane MCU counts ACROSS chips -- one ``all_gather``
+    of the tiny counts vector over ``axis`` (riding ICI), then each
+    device scatters its coefficients into a frame-sized buffer and a
+    single ``psum`` combines the write-disjoint shards.  (DC needs no
+    cross-chip chain here: restart markers reset predictors per segment,
+    decoder.c:371-373 -- the count prefix IS the sequential state.)
+
+    The segment lane count must divide the mesh axis; callers pad with
+    empty lanes (nbits=0 decodes zero MCUs).  Returns a jitted
+    ``decode(words [S, Wn], nbits [S]) -> (coeffs [total_blocks, 64]
+    replicated, starved [n])``.
+    """
+    from jax import shard_map
+
+    from ..entropy.lockstep_jax import _place_emissions, _scan_lanes
+
+    n = mesh.shape[axis]
+    if n_segments % n:
+        raise ValueError(
+            f"segment lanes ({n_segments}) must divide over '{axis}' ({n}); "
+            "pad with empty (nbits=0) lanes"
+        )
+    sl = n_segments // n
+
+    def local(words, nbits):
+        counts, streams, starved = _scan_lanes(plan, words, nbits, max_steps)
+        all_counts = jax.lax.all_gather(counts, axis)  # [n, sl]
+        flat = all_counts.reshape(-1)
+        excl = jnp.cumsum(flat) - flat
+        idx = jax.lax.axis_index(axis)
+        my_off = jax.lax.dynamic_slice(excl, (idx * sl,), (sl,))
+        coeffs = _place_emissions(
+            plan, counts, [streams], 1, sl, total_blocks, seg_offset=my_off,
+        )
+        return jax.lax.psum(coeffs, axis), starved.reshape(1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(axis)),
+        check_vma=False,  # scatter ops defeat the varying-axes checker
+    )
+    return jax.jit(fn)
+
+
+def decode_frame_sharded(data: bytes, mesh: Mesh, axis: str = "frame"):
+    """Decode ONE JPEG's entropy across every device on ``axis``.
+
+    Host parses + unstuffs, pads the lane set to the axis size, runs the
+    cross-chip lockstep decode, and returns the coefficient planes dict
+    (replicated).  The frame needs restart markers (the parallel axis);
+    RST-less streams should use entropy='speculative' instead.
+    """
+    from ..api import _derive_cached
+    from ..errors import UnsupportedError
+    from ..format.parse import parse_codestream, unstuff
+    from ..entropy.lockstep_jax import (
+        _cached_plan, _max_steps_for, _segments_to_words,
+    )
+
+    cs = parse_codestream(data)
+    geom = cs.geometry
+    if geom is None or len(cs.scans) != 1:
+        raise UnsupportedError("sharded frame decode wants one frame/scan")
+    scan = cs.scans[0]
+    tables = {k: _derive_cached(s) for k, s in scan.htables.items()}
+    plan = _cached_plan(
+        geom, scan.info, tuple(sorted((k, t.spec) for k, t in tables.items()))
+    )
+    segments = [unstuff(data[s:e]) for s, e in scan.ecs_ranges]
+    n = mesh.shape[axis]
+    while len(segments) % n:
+        segments.append(np.zeros(0, np.uint8))  # empty lane: zero MCUs
+    words, nbits = _segments_to_words(segments)
+    total_blocks = sum(
+        geom.by_id(cid).n_blocks for cid in scan.info.component_ids
+    )
+    steps = _max_steps_for(nbits, plan, scan.ri, optimistic=False)
+    decode = make_sharded_frame_decoder(
+        plan, mesh, len(segments), steps, total_blocks, axis=axis
+    )
+    with mesh:
+        coeffs, starved = decode(
+            jnp.asarray(words), jnp.asarray(nbits, dtype=jnp.int32)
+        )
+    coeffs = np.asarray(coeffs)
+    planes = {}
+    off = 0
+    for cid in scan.info.component_ids:
+        nb = geom.by_id(cid).n_blocks
+        planes[cid] = coeffs[off : off + nb]
+        off += nb
+    return cs, planes
 
 
 def make_sharded_stream_encoder(enc, mesh: Mesh, frames: int,

@@ -185,3 +185,28 @@ def test_device_batch_444():
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_mixed_table_stream_falls_back_per_frame():
+    """A frame with different (optimized) Huffman tables inside a batch
+    degrades to the per-frame path instead of raising (round-1 weak #6);
+    all frames come back pixel-correct."""
+    import jpeg_tpu
+    from jpeg_tpu.models.device_decode import DeviceDecoder
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                          restart_interval=2, exact=True)
+    frames = [encode_jpeg(make_ppm(64, 48, seed=s), params) for s in range(3)]
+    odd = encode_jpeg(
+        make_ppm(64, 48, seed=9),
+        EncodeParams(h=2, v=2, quality=75, optimize=True,
+                     restart_interval=2, exact=True),
+    )
+    stream = [frames[0], frames[1], odd, frames[2]]
+    dec = DeviceDecoder.for_stream(stream[0])
+    px = np.asarray(dec.decode_batch(stream, chunk=2))
+    assert px.shape[0] == 4
+    for i, f in enumerate(stream):
+        want = jpeg_tpu.decode_jpeg(f, exact=False).pixels()
+        got = px[i].astype(np.int32)
+        assert np.abs(got - want).max() <= 1

