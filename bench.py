@@ -93,6 +93,14 @@ def main() -> None:
     # ---- encode the corpus on CPU (before the TPU runtime wakes up) ---
     import jax
 
+    # Persistent compile cache: repeat bench runs skip the 20-60 s XLA
+    # compiles (first run per machine still pays them).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     # Encoding setup is host-side work; do it and the reference baseline
     # before any TPU traffic.
     from jpeg_tpu.encoder import EncodeParams, encode_jpeg

@@ -203,4 +203,8 @@ def decode_jpeg(
     geom = cs.geometry
     dense = _jitted_decode_frame(geom, exact)
     frame = np.asarray(dense(planes, cs.qtables.astype(np.int32)))
+    if checks_enabled() and not np.isfinite(frame).all():
+        # Sanitizer: the dense kernels are pure fixed-range arithmetic;
+        # a NaN/Inf means a kernel bug, not bad input.
+        raise AssertionError("non-finite samples out of the dense pipeline")
     return DecodedImage(frame=frame, geometry=geom, codestream=cs, coefficients=planes)

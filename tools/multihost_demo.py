@@ -79,20 +79,32 @@ def worker(pid: int, n: int, frames_per_host: int, port: int) -> int:
     return 0 if ok else 1
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     fph = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    port = 12323
 
     if os.environ.get("_MH_WORKER"):
-        return worker(int(os.environ["_MH_WORKER_PID"]), n, fph, port)
+        return worker(
+            int(os.environ["_MH_WORKER_PID"]), n, fph,
+            int(os.environ["_MH_PORT"]),
+        )
 
+    port = int(os.environ.get("_MH_PORT", 0)) or _free_port()
     procs = []
     for pid in range(n):
         env = {
             **os.environ,
             "_MH_WORKER": "1",
             "_MH_WORKER_PID": str(pid),
+            "_MH_PORT": str(port),
         }
         procs.append(
             subprocess.Popen([sys.executable, __file__, str(n), str(fph)], env=env)

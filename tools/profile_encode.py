@@ -18,6 +18,12 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
 import jax
+
+try:  # persistent compile cache: repeat runs skip the big XLA compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
