@@ -290,7 +290,8 @@ def _final_decode(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
     oob = total_blocks * 64
     flat = jnp.where(em_key > 0, gblk * 64 + pos, oob).reshape(-1)
     out = jnp.zeros(total_blocks * 64, jnp.int32)
-    out = out.at[flat].add(em_val.reshape(-1), mode="drop")
+    # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
+    out = out.at[flat].set(em_val.reshape(-1), mode="drop")
     dc_final = jnp.stack(carry[5])  # [C, L]
     starved = (carry[1] & (carry[2] < nblk)).any()
     return out.reshape(total_blocks, 64), dc_final, starved

@@ -68,6 +68,29 @@ def ycc_to_rgb(pixels, precision: int, exact: bool = True):
     )
 
 
+def ycc_to_rgb_planar(y, cb, cr, precision: int, exact: bool = False):
+    """Planar YCbCr -> (r, g, b) planes, same math as ``ycc_to_rgb``.
+
+    TPU layout note: interleaving channels into a [..., 3] minor axis is
+    a pathological transpose (3 never fills the 128-lane dimension) --
+    measured ~30 ms per 8x1080p batch just for the f32 stack.  The
+    device decode path stays planar through the color math and
+    interleaves only the final uint8 samples.
+    """
+    dt = _work_dtype(exact)
+    yv = jnp.asarray(y).astype(dt)
+    cbv = _centered_f32(jnp.asarray(cb), precision).astype(dt)
+    crv = _centered_f32(jnp.asarray(cr), precision).astype(dt)
+    r = yv + 1.402 * crv
+    g = yv - 0.34414 * cbv - 0.71414 * crv
+    b = yv + 1.772 * cbv
+    return (
+        r.astype(jnp.float32),
+        g.astype(jnp.float32),
+        b.astype(jnp.float32),
+    )
+
+
 def ycck_to_rgb(pixels, precision: int, exact: bool = True):
     """YCCK (Adobe 4-component) -> RGB via CMYK inversion (frame.c:196-218).
 
