@@ -531,11 +531,19 @@ def _place_emissions(
 
     out = jnp.zeros(frames * total_blocks * 64, dtype=jnp.int32)
     for keys, vals in streams:
-        # Valid keys are unique (one writer per coefficient slot; the
-        # pending-DC emission owns pos 0), so scatter-SET applies --
-        # measured 1.56x faster than scatter-ADD on v5e (6.8 vs 10.6
-        # ns/attempt) and this scatter dominates decode placement.
-        out = out.at[place(keys)].set(vals.reshape(-1), mode="drop")
+        if len(streams) == 1:
+            # Single-stream engines (the production scan, speculative):
+            # valid keys are unique -- one writer per coefficient slot,
+            # the pending-DC emission owns pos 0 -- so scatter-SET
+            # applies: measured 1.56x faster than scatter-ADD on v5e
+            # (6.8 vs 10.6 ns/attempt), and this scatter dominates
+            # decode placement.
+            out = out.at[place(keys)].set(vals.reshape(-1), mode="drop")
+        else:
+            # Two-stream form (Pallas engine): the DC slot receives the
+            # raw diff from one stream and the predictor from the other,
+            # so the combine must ADD.
+            out = out.at[place(keys)].add(vals.reshape(-1), mode="drop")
     return out.reshape(frames * total_blocks, 64)
 
 

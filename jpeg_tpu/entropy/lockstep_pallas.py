@@ -14,9 +14,16 @@ scan engine, so this is a drop-in producer for decode_scan_device.
 
 STATUS: semantics are pinned against the scan engine (exact-equal
 outputs, tests/test_lockstep_pallas.py, interpret mode).  On this dev
-environment's remote-compile Pallas toolchain the Mosaic compile of the
-kernel currently hangs (>400 s) -- the scan engine remains the default
-production path; revisit on a local TPU toolchain.
+environment's remote-compile Pallas toolchain the kernel does not
+build: round 1 saw the Mosaic compile hang (>400 s); on round 2's
+jax 0.9 the trace of the unrolled step loop additionally blows Python
+recursion at default limits, and with sys.setrecursionlimit(200000)
+the trace/compile still exceeds 9 minutes.  More importantly, round-2
+ablation profiling (tools/ablate_scan.py) showed the scan this kernel
+would replace costs ~5 ms per 8x1080p chunk -- the decode bottlenecks
+are the placement scatter (~26 ms) and, on this box, the upload tunnel
+(docs/ARCHITECTURE.md roofline).  A Pallas win would have to target
+the scatter, not the scan; the scan engine remains the production path.
 """
 
 from __future__ import annotations
