@@ -335,51 +335,71 @@ def decode_scan_speculative_jax(
         return decode_scan_serial(geom, info, tables, [segment], planes)
 
     # Chunking: >=1 KiB per chunk so probe step counts stay bounded.
+    # The chunk size is quantized to powers of two so the jitted probe /
+    # final-decode shapes recur across streams (jit cache reuse).
     S = int(min(lanes, max(1, n // 1024)))
     if S < 4 or bpm > 16:
         return fallback()
-    cb = -(-n // S)  # chunk bytes
+    cb = 1 << (-(-n // S) - 1).bit_length()  # pow2 chunk bytes
     S = -(-n // cb)
+    # Quantize the lane count too (pad chunks are empty: nbits=0 decodes
+    # nothing) -- together with the pow2 chunk size, probe/final shapes
+    # take few distinct values across real streams.
+    S_pad = -(-S // 8) * 8
 
     # Windows: chunk i plus its successor, padded to a common word width.
     win_bytes = min(2 * cb, n)  # lane S-1 simply has fewer bits
     wn = (win_bytes + 8 + 3) // 4 + 2
-    wmat = np.zeros((S, wn * 4), dtype=np.uint8)
-    starts = np.arange(S) * cb
+    wmat = np.zeros((S_pad, wn * 4), dtype=np.uint8)
+    starts = np.arange(S_pad) * cb
     for i in range(S):
         lo = i * cb
         hi = min(lo + 2 * cb, n)
         wmat[i, : hi - lo] = segment[lo:hi]
     words = (
-        wmat.reshape(S, wn, 4).astype(np.uint32) << np.array([24, 16, 8, 0])
+        wmat.reshape(S_pad, wn, 4).astype(np.uint32)
+        << np.array([24, 16, 8, 0])
     ).sum(axis=2).astype(np.uint32)
-    win_bits = np.minimum(starts + 2 * cb, n) * 8 - starts * 8
-    chunk_bits = np.minimum(starts + cb, n) * 8 - starts * 8  # stop offsets
+    win_bits = np.maximum(np.minimum(starts + 2 * cb, n) * 8 - starts * 8, 0)
+    chunk_bits = np.maximum(
+        np.minimum(starts + cb, n) * 8 - starts * 8, 0
+    )  # stop offsets
 
-    # Probe round 0: bpm phase variants per chunk.
-    L = S * bpm
-    chunk_of_lane = np.repeat(np.arange(S, dtype=np.int32), bpm)
-    start_slot = np.tile(np.arange(bpm, dtype=np.int32), S)
+    # Probe round 0: bpm phase variants per chunk (padded chunks are
+    # dead lanes: win_bits=0).
+    L = S_pad * bpm
+    chunk_of_lane = np.repeat(np.arange(S_pad, dtype=np.int32), bpm)
+    start_slot = np.tile(np.arange(bpm, dtype=np.int32), S_pad)
     start_bit = np.zeros(L, np.int32)
     nbits_l = win_bits[chunk_of_lane].astype(np.int32)
     stop_l = chunk_bits[chunk_of_lane].astype(np.int32)
-    # Block-boundary capacity: every block is >= ~4 bits in practice;
-    # bound by window bits / 6 with slack, retried via starvation.
-    maxb = int(min(2 * total_blocks + 4, win_bits.max() // 6 + 8))
-    max_steps = int(win_bits.max() // 4 + 64)
+    # Block-boundary capacity: photographic content averages ~30+ bits
+    # per block; start tight (the meta download rides the host link) and
+    # grow on saturation (a lane whose record count hits maxb may have
+    # dropped boundaries).  Step bound likewise starts at the measured
+    # ~6 bits/symbol average and grows on starvation.
+    maxb = int(min(2 * total_blocks + 4, win_bits.max() // 20 + 32))
+    max_steps = int(win_bits.max() // 6 + 64)
     hard_steps = int(win_bits.max() + 2)
+    maxb_hard = int(min(2 * total_blocks + 4, win_bits.max() // 4 + 8))
 
     jw = jnp.asarray(words)
     jcl = jnp.asarray(chunk_of_lane)
 
     def run_probe(sbit, sslot, nb, stop, steps):
+        nonlocal maxb
         while True:
             meta, alive = _probe(
                 plan, jw, jcl, jnp.asarray(nb), jnp.asarray(sbit),
                 jnp.asarray(sslot), jnp.asarray(stop), steps, maxb,
             )
             meta = np.asarray(meta)
-            if not bool(np.asarray(alive).any()) or steps >= hard_steps:
+            starved = bool(np.asarray(alive).any())
+            saturated = bool(((meta > 0).sum(axis=1) >= maxb).any())
+            if saturated and maxb < maxb_hard:
+                maxb = min(maxb_hard, maxb * 2)
+                continue
+            if not starved or steps >= hard_steps:
                 return meta
             steps = min(hard_steps, steps * 3 // 2)
 
@@ -477,7 +497,7 @@ def decode_scan_speculative_jax(
 
     # ---- final authoritative decode ------------------------------------
     # Span of chunk i: boundaries up to (excluding) its stop boundary.
-    nblk = np.zeros(S, np.int64)
+    nblk = np.zeros(S_pad, np.int64)
     for i in range(S):
         stop_abs = chunk_start_abs[i] + int(chunk_bits[i])
         # all chunks: blocks strictly before the first boundary >= stop
@@ -487,16 +507,18 @@ def decode_scan_speculative_jax(
     g0 = np.cumsum(nblk) - nblk
     total_avail = int(g0[-1] + nblk[-1])
 
-    f_start = np.zeros(S, np.int32)
-    f_slot = np.zeros(S, np.int32)
+    f_start = np.zeros(S_pad, np.int32)
+    f_slot = np.zeros(S_pad, np.int32)
     for i in range(S):
         f_start[i] = auth_bits[i][0] - chunk_start_abs[i]
         f_slot[i] = auth_slots[i][0]
     f_nbits = win_bits.astype(np.int32)
-    steps = int(win_bits.max() // 4 + 64)
+    # A final lane decodes only its authoritative span (~one chunk of
+    # symbols); starvation retries cover outliers.
+    steps = int(cb * 8 // 5 + 96)
     while True:
         coeffs, dc_final, starved = _final_decode(
-            plan, jw, jnp.asarray(np.arange(S, dtype=np.int32)),
+            plan, jw, jnp.asarray(np.arange(S_pad, dtype=np.int32)),
             jnp.asarray(f_nbits), jnp.asarray(f_start),
             jnp.asarray(f_slot), jnp.asarray(g0.astype(np.int32)),
             jnp.asarray(nblk.astype(np.int32)), steps, total_blocks,

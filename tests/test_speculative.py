@@ -106,3 +106,14 @@ def test_speculative_tiny_stream_falls_back():
     """Streams too small to chunk route to the serial oracle."""
     data = encode_jpeg(make_ppm(24, 16, seed=9), EncodeParams(quality=75))
     _check(data, lanes=64)
+
+
+def test_speculative_12bit_gray():
+    """12-bit samples: DC categories up to 16, 16-bit extras."""
+    from refbin import make_pgm
+
+    data = encode_jpeg(
+        make_pgm(200, 160, seed=21, maxval=4095),
+        EncodeParams(quality=80, optimize=True),
+    )
+    _check(data, lanes=8)
