@@ -38,6 +38,7 @@ unresolvable falls back to the oracle.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -257,18 +258,22 @@ def _probe(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
     take = min(maxb, sorted_val.shape[1])
     meta = jnp.zeros((L, maxb), jnp.int32)
     meta = meta.at[:, :take].set(sorted_val[:, :take])
-    return meta, carry[1]
+    counts = (meta > 0).sum(axis=1)
+    return meta, counts, carry[1]
 
 
 @partial(jax.jit, static_argnames=("plan", "max_steps", "total_blocks"))
 def _final_decode(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
                   start_slot, g0, nblk, max_steps: int, total_blocks: int):
-    """Authoritative re-decode: lane i emits its nblk[i] blocks keyed by
-    global block ordinal g0[i]+blk.  DC values are lane-local cumulative
+    """Authoritative re-decode: lane i emits its nblk[i] blocks; the
+    global block ordinal g0[i]+blk resolves straight to the PLANE row
+    (the decoder.c:319-358 block walk, same affine form as
+    lockstep_jax._place_emissions), so the output drops directly into
+    the concatenated-planes layout.  DC values are lane-local cumulative
     (predictors start at 0); the caller adds the per-lane per-component
     prefix (decoder.c:350-355 chain, prefix-summed over chunks).
-    Returns (coeffs [total_blocks, 64] in GLOBAL BLOCK order, dc_final
-    [C, L], starved)."""
+    Returns (coeffs [total_blocks, 64] in PLANE order, dc_final [C, L],
+    starved)."""
     S, wn = words.shape
     words_flat = words.reshape(-1)
     hv_cols, iota_hv = _hv_consts(plan)
@@ -287,13 +292,45 @@ def _final_decode(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
     kk = em_key - 1  # invalid -> -1
     gblk = g0[None, :] + (kk >> 6)
     pos = kk & 63
+    bpm = plan.blocks_per_mcu
+    mcu = gblk // bpm
+    slot = gblk - mcu * bpm
+    if plan.interleaved:
+        c0 = (plan.slot_plane_offset + plan.slot_v * plan.slot_bx
+              + plan.slot_h).astype(np.int64)
+        c1 = (plan.slot_V * plan.slot_bx).astype(np.int64)
+        c2 = plan.slot_H.astype(np.int64)
+    else:
+        c0 = (plan.slot_plane_offset + plan.slot_h).astype(np.int64)
+        c1 = c2 = None
+    nb_t = plan.slot_nblocks.astype(np.int64)
+    po_t = plan.slot_plane_offset.astype(np.int64)
+
+    def slotc(col):
+        out = jnp.full_like(slot, int(col[0]))
+        for s in range(1, bpm):
+            out = jnp.where(slot == s, int(col[s]), out)
+        return out
+
+    if plan.interleaved:
+        my = mcu // plan.m_x
+        mx = mcu - my * plan.m_x
+        row = my * slotc(c1) + mx * slotc(c2) + slotc(c0)
+        seq = row - slotc(po_t)
+    else:
+        seq = mcu * bpm + slotc(c0 - po_t)
+        row = seq + slotc(po_t)
+    good = (em_key > 0) & (seq < slotc(nb_t))
     oob = total_blocks * 64
-    flat = jnp.where(em_key > 0, gblk * 64 + pos, oob).reshape(-1)
+    flat = jnp.where(good, row * 64 + pos, oob).reshape(-1)
     out = jnp.zeros(total_blocks * 64, jnp.int32)
     # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
     out = out.at[flat].set(em_val.reshape(-1), mode="drop")
     dc_final = jnp.stack(carry[5])  # [C, L]
-    starved = (carry[1] & (carry[2] < nblk)).any()
+    # Any still-alive lane needs at least one more step to die (and
+    # flush its pending DC emission) -- retry on that, not just on
+    # unfinished spans.
+    starved = carry[1].any()
     return out.reshape(total_blocks, 64), dc_final, starved
 
 
@@ -303,20 +340,19 @@ def _unpack_meta(meta_row: np.ndarray):
     return (v >> 4).astype(np.int64), (v & 15).astype(np.int64)
 
 
-def decode_scan_speculative_jax(
+def _speculative_core(
     geom: FrameGeometry,
     info: ScanInfo,
     tables: Dict[Tuple[int, int], HuffTable],
     segment: np.ndarray,  # one unstuffed ECS (uint8)
-    planes: Dict[int, np.ndarray],
     lanes: int = 128,
     max_rounds: int = 12,
-) -> int:
-    """Decode one RST-less ECS on up to ``lanes`` speculative chunks.
+):
+    """Probe + resolve + final decode of one RST-less ECS.
 
-    Falls back to the serial oracle whenever resolution fails (corrupt
-    or pathological streams), keeping the documented exactness contract.
-    Returns decoded MCUs.
+    Returns (coeffs [total_blocks, 64] DEVICE-resident, plane order,
+    DC already fixed up, n_use) -- or None when the stream defeats
+    resolution (caller falls back to the serial oracle).
     """
     from .lockstep_jax import _cached_plan
 
@@ -329,17 +365,17 @@ def decode_scan_speculative_jax(
         geom.by_id(cid).n_blocks for cid in info.component_ids
     )
 
-    def fallback():
-        from .serial import decode_scan_serial
-
-        return decode_scan_serial(geom, info, tables, [segment], planes)
+    def fallback(why=""):
+        if os.environ.get("JPEG_TPU_SPEC_DEBUG"):
+            print(f"[speculative] fallback: {why}", flush=True)
+        return None
 
     # Chunking: >=1 KiB per chunk so probe step counts stay bounded.
     # The chunk size is quantized to powers of two so the jitted probe /
     # final-decode shapes recur across streams (jit cache reuse).
     S = int(min(lanes, max(1, n // 1024)))
     if S < 4 or bpm > 16:
-        return fallback()
+        return fallback(f"too small / bpm: S={S} bpm={bpm}")
     cb = 1 << (-(-n // S) - 1).bit_length()  # pow2 chunk bytes
     S = -(-n // cb)
     # Quantize the lane count too (pad chunks are empty: nbits=0 decodes
@@ -372,7 +408,11 @@ def decode_scan_speculative_jax(
     start_slot = np.tile(np.arange(bpm, dtype=np.int32), S_pad)
     start_bit = np.zeros(L, np.int32)
     nbits_l = win_bits[chunk_of_lane].astype(np.int32)
-    stop_l = chunk_bits[chunk_of_lane].astype(np.int32)
+    # Lanes decode their FULL 2-chunk window: the overlap into the next
+    # chunk is where the authoritative track meets the successor's
+    # speculative track (sync needs tens of symbols of common ground --
+    # the first boundary past the chunk edge is NOT enough).
+    stop_l = nbits_l
     # Block-boundary capacity: photographic content averages ~30+ bits
     # per block; start tight (the meta download rides the host link) and
     # grow on saturation (a lane whose record count hits maxb may have
@@ -386,132 +426,142 @@ def decode_scan_speculative_jax(
     jw = jnp.asarray(words)
     jcl = jnp.asarray(chunk_of_lane)
 
-    def run_probe(sbit, sslot, nb, stop, steps):
+    def run_probe(sbit, sslot, nb, stop, steps, retries=2):
+        # Only tiny (counts, alive) vectors come back per attempt; the
+        # meta matrix downloads ONCE, sliced to the live column count
+        # (this path rides the host link).  Junk phase variants can stay
+        # starved forever, so retries are capped -- a starved TRUE lane
+        # surfaces as a failed link and the reprobe machinery covers it.
         nonlocal maxb
         while True:
-            meta, alive = _probe(
+            meta, counts, alive = _probe(
                 plan, jw, jcl, jnp.asarray(nb), jnp.asarray(sbit),
                 jnp.asarray(sslot), jnp.asarray(stop), steps, maxb,
             )
-            meta = np.asarray(meta)
-            starved = bool(np.asarray(alive).any())
-            saturated = bool(((meta > 0).sum(axis=1) >= maxb).any())
+            counts_h = np.asarray(counts)
+            saturated = bool((counts_h >= maxb).any())
             if saturated and maxb < maxb_hard:
                 maxb = min(maxb_hard, maxb * 2)
                 continue
-            if not starved or steps >= hard_steps:
-                return meta
+            starved = bool(np.asarray(alive).any())
+            if not starved or retries <= 0 or steps >= hard_steps:
+                cmax = max(1, int(counts_h.max()))
+                return np.asarray(meta[:, :cmax])
+            retries -= 1
             steps = min(hard_steps, steps * 3 // 2)
 
     meta0 = run_probe(start_bit, start_slot, nbits_l, stop_l, max_steps)
 
     # ---- resolution (host; data is [S*bpm, maxb] i32) ------------------
-    # Authoritative state per chunk i: (abs bit, slot) of its first block,
-    # its boundary list, and its block count to the stop boundary.
-    auth_bits = [None] * S  # per chunk: np arrays of abs bit positions
-    auth_slots = [None] * S
-    auth_src = [None] * S  # (kind, lane_or_round_idx, j0) for final pass
+    # Authoritative per chunk i: its boundary list from its sync point
+    # through its window (chunks i and i+1).  A link to chunk i+1 holds
+    # at the EARLIEST state (bit, slot) that chunk i's authoritative
+    # overlap and ANY phase variant of chunk i+1 both visited -- from a
+    # common state the decodes are identical (same bits, same tables),
+    # so everything after is authoritative.
+    auth_pack = [None] * S  # packed (bit<<4 | slot), ascending
+    auth_sync = [0] * S  # index of the chunk's sync boundary in its list
     chunk_start_abs = starts * 8
 
-    def boundaries_of(meta_row, chunk):
-        rb, sl_ = _unpack_meta(meta_row)
-        return rb + chunk_start_abs[chunk], sl_
+    def packed_of(meta_row, chunk):
+        v = meta_row[meta_row > 0].astype(np.int64) - 1
+        return v + (chunk_start_abs[chunk] << 4)
 
-    # chunk 0: phase-0 lane is the true decode.
-    b, sl_ = boundaries_of(meta0[0 * bpm + 0], 0)
-    if b.size == 0 or b[0] != 0 or sl_[0] != 0:
-        return fallback()
-    auth_bits[0], auth_slots[0] = b, sl_
-    auth_src[0] = ("probe0", 0, 0)
+    p0 = packed_of(meta0[0], 0)
+    if p0.size == 0 or p0[0] != 0:
+        return fallback(f"lane0 start: {p0[:1]}")
+    auth_pack[0] = p0
 
-    # Pending re-probes accumulate per round.
-    reprobe_meta: Dict[int, np.ndarray] = {}  # chunk -> boundary meta row
-    reprobe_start: Dict[int, Tuple[int, int]] = {}
+    reprobe_meta: Dict[int, np.ndarray] = {}
+    reprobe_from: Dict[int, int] = {}  # chunk -> packed start state
 
     for rnd in range(max_rounds):
-        # Extend the authoritative chain as far as possible.
         progressed = False
         failed: list = []
         i = 0
         while i < S - 1:
-            if auth_bits[i] is None:
+            if auth_pack[i] is None:
                 break
-            if auth_bits[i + 1] is not None:
+            if auth_pack[i + 1] is not None:
                 i += 1
                 continue
-            # End state of chunk i = its final boundary (first >= chunk
-            # end); it must exist past the stop offset.
-            eb, es = auth_bits[i][-1], auth_slots[i][-1]
-            if eb < chunk_start_abs[i] + int(chunk_bits[i]) and i + 1 < S:
-                # Chunk i's authoritative decode died before reaching its
-                # stop boundary: corrupt stream region.
-                return fallback()
-            matched = False
+            nxt_start = chunk_start_abs[i + 1] << 4
+            tail = auth_pack[i][auth_pack[i] >= nxt_start]
+            if tail.size == 0:
+                return fallback(
+                    f"chunk {i} has no boundaries past the chunk edge "
+                    f"(n={auth_pack[i].size})"
+                )
+            best = None
+            best_src = None
             for variant in range(bpm):
-                vb, vs = boundaries_of(meta0[(i + 1) * bpm + variant], i + 1)
-                k = np.searchsorted(vb, eb)
-                if k < vb.size and vb[k] == eb and vs[k] == es:
-                    auth_bits[i + 1] = vb[k:]
-                    auth_slots[i + 1] = vs[k:]
-                    auth_src[i + 1] = ("probe0", (i + 1) * bpm + variant, k)
-                    matched = True
-                    progressed = True
-                    break
-            if not matched and (i + 1) in reprobe_meta:
-                vb, vs = boundaries_of(reprobe_meta[i + 1], i + 1)
-                if vb.size and vb[0] == eb and vs[0] == es:
-                    auth_bits[i + 1] = vb
-                    auth_slots[i + 1] = vs
-                    auth_src[i + 1] = ("reprobe", i + 1, 0)
-                    matched = True
-                    progressed = True
-            if not matched:
-                failed.append((i + 1, eb, es))
+                vp = packed_of(meta0[(i + 1) * bpm + variant], i + 1)
+                common = np.intersect1d(tail, vp, assume_unique=False)
+                if common.size and (best is None or common[0] < best):
+                    best = int(common[0])
+                    best_src = vp
+            if (i + 1) in reprobe_meta:
+                rp = packed_of(reprobe_meta[i + 1], i + 1)
+                if rp.size and int(rp[0]) == reprobe_from[i + 1] and (
+                    best is None or rp[0] <= best
+                ):
+                    best = int(rp[0])
+                    best_src = rp
+            if best is None:
+                failed.append((i + 1, int(tail[0])))
                 break
+            # Truncate chunk i's span at the handoff, adopt chunk i+1.
+            auth_pack[i] = auth_pack[i][auth_pack[i] < best]
+            k = int(np.searchsorted(best_src, best))
+            auth_pack[i + 1] = best_src[k:]
+            progressed = True
             i += 1
-        if all(ab is not None for ab in auth_bits):
+        if all(ap is not None for ap in auth_pack):
             break
         if not failed:
             if not progressed:
-                return fallback()
+                return fallback(f"round {rnd}: no progress, none failed")
             continue
-        # Batched re-probe of failed links from their true states.
+        # Batched re-probe of failed links from their true states (the
+        # earliest boundary of the predecessor inside the failed chunk).
         sbit = start_bit.copy()
         sslot = start_slot.copy()
         nb = np.zeros(L, np.int32)  # all lanes dead by default
-        stop = stop_l.copy()
-        for (ch, eb, es) in failed:
+        for (ch, hand) in failed:
             lane = ch * bpm  # reuse the phase-0 lane slot for chunk ch
-            rel = eb - chunk_start_abs[ch]
+            rel = (hand >> 4) - chunk_start_abs[ch]
             if rel < 0 or rel >= int(win_bits[ch]):
-                return fallback()
+                return fallback(
+                    f"handoff out of window: chunk {ch} rel={rel}"
+                )
             sbit[lane] = rel
-            sslot[lane] = es
+            sslot[lane] = hand & 15
             nb[lane] = win_bits[ch]
-        meta_r = run_probe(sbit, sslot, nb, stop, max_steps)
-        for (ch, eb, es) in failed:
+        meta_r = run_probe(sbit, sslot, nb, nb, max_steps)
+        for (ch, hand) in failed:
             reprobe_meta[ch] = meta_r[ch * bpm]
-            reprobe_start[ch] = (eb, es)
-    if any(ab is None for ab in auth_bits):
-        return fallback()
+            reprobe_from[ch] = hand
+    if any(ap is None for ap in auth_pack):
+        unresolved = [i for i, ap in enumerate(auth_pack) if ap is None]
+        return fallback(
+            f"unresolved after {max_rounds} rounds: {unresolved[:6]}..."
+        )
 
     # ---- final authoritative decode ------------------------------------
-    # Span of chunk i: boundaries up to (excluding) its stop boundary.
+    # Chunk i's span was truncated at the next chunk's handoff during
+    # resolution, so its block count is just its list length.  Junk
+    # trailing blocks (padding bits decoding as symbols) are capped at
+    # the geometry's expected count later (decoder.c:339-347 NULL
+    # blocks).
     nblk = np.zeros(S_pad, np.int64)
-    for i in range(S):
-        stop_abs = chunk_start_abs[i] + int(chunk_bits[i])
-        # all chunks: blocks strictly before the first boundary >= stop
-        nblk[i] = int(np.searchsorted(auth_bits[i], stop_abs))
-    # Junk trailing blocks (padding bits decoding as symbols) are capped
-    # at the geometry's expected count (decoder.c:339-347 NULL blocks).
-    g0 = np.cumsum(nblk) - nblk
-    total_avail = int(g0[-1] + nblk[-1])
-
     f_start = np.zeros(S_pad, np.int32)
     f_slot = np.zeros(S_pad, np.int32)
     for i in range(S):
-        f_start[i] = auth_bits[i][0] - chunk_start_abs[i]
-        f_slot[i] = auth_slots[i][0]
+        nblk[i] = auth_pack[i].size
+        f_start[i] = (auth_pack[i][0] >> 4) - chunk_start_abs[i]
+        f_slot[i] = auth_pack[i][0] & 15
+    g0 = np.cumsum(nblk) - nblk
+    total_avail = int(g0[-1] + nblk[-1])
     f_nbits = win_bits.astype(np.int32)
     # A final lane decodes only its authoritative span (~one chunk of
     # symbols); starvation retries cover outliers.
@@ -526,20 +576,16 @@ def decode_scan_speculative_jax(
         if not bool(np.asarray(starved)) or steps >= hard_steps:
             break
         steps = min(hard_steps, steps * 3 // 2)
-    coeffs = np.array(coeffs)  # writable copy (DC fixup below)
-    dc_final = np.asarray(dc_final)  # [C, S] per-lane DC totals
-
-    # ---- DC prefix over chunks + placement into planes -----------------
+    # ---- DC prefix over chunks (fixup ON DEVICE, plane coords) ---------
+    # Per-plane-row (lane, component) maps are tiny host arrays; the
+    # cumulative-base gather + column add run on the device so the
+    # coefficients never need to leave HBM (decode_frame_rstless).
     n_use = min(total_avail, total_blocks)
-    dc_base = np.cumsum(dc_final, axis=1) - dc_final  # exclusive, [C, S]
     gi = np.arange(n_use)
     lane_of = np.searchsorted(g0, gi, side="right") - 1
     mcu = gi // bpm
     slot = gi % bpm
     comp = plan.slot_comp[slot]
-    coeffs[gi, 0] += dc_base[comp, lane_of]
-
-    # Global block ordinal -> plane row (decoder.c:319-358 block walk).
     if plan.interleaved:
         my = mcu // plan.m_x
         mx = mcu % plan.m_x
@@ -552,15 +598,64 @@ def decode_scan_speculative_jax(
         seq = mcu * bpm + plan.slot_h[slot]
     ok = seq < plan.slot_nblocks[slot]
     rows = plan.slot_plane_offset[slot] + seq
-    comp_ids = list(info.component_ids)
-    stack = np.zeros((total_blocks, 64), np.int32)
-    stack[rows[ok]] = coeffs[gi[ok]]
+    lane_row = np.zeros(total_blocks, np.int32)
+    comp_row = np.zeros(total_blocks, np.int32)
+    mask_row = np.zeros(total_blocks, np.int32)
+    lane_row[rows[ok]] = lane_of[ok]
+    comp_row[rows[ok]] = comp[ok]
+    mask_row[rows[ok]] = 1
+    coeffs = _dc_fixup(
+        coeffs, dc_final, jnp.asarray(lane_row), jnp.asarray(comp_row),
+        jnp.asarray(mask_row),
+    )
+    return coeffs, n_use
+
+
+@jax.jit
+def _dc_fixup(coeffs, dc_final, lane_row, comp_row, mask_row):
+    """Add the cross-chunk DC prefix to each decoded block's DC slot."""
+    dc_base = jnp.cumsum(dc_final, axis=1) - dc_final  # [C, L] exclusive
+    L = dc_final.shape[1]
+    fix = jnp.take(
+        dc_base.reshape(-1), comp_row * L + lane_row, mode="clip"
+    ) * mask_row
+    return coeffs.at[:, 0].add(fix)
+
+
+def decode_scan_speculative_jax(
+    geom: FrameGeometry,
+    info: ScanInfo,
+    tables: Dict[Tuple[int, int], HuffTable],
+    segment: np.ndarray,  # one unstuffed ECS (uint8)
+    planes: Dict[int, np.ndarray],
+    lanes: int = 128,
+    max_rounds: int = 12,
+) -> int:
+    """Decode one RST-less ECS on up to ``lanes`` speculative chunks.
+
+    Falls back to the serial oracle whenever resolution fails (corrupt
+    or pathological streams), keeping the documented exactness contract.
+    Returns decoded MCUs.
+    """
+    seg = np.asarray(segment, np.uint8)
+    res = _speculative_core(geom, info, tables, seg, lanes, max_rounds)
+    if res is None:
+        from .serial import decode_scan_serial
+
+        return decode_scan_serial(geom, info, tables, [seg], planes)
+    coeffs_dev, n_use = res
+    c = np.asarray(coeffs_dev)
     off = 0
-    for cid in comp_ids:
+    for cid in info.component_ids:
         nb_c = geom.by_id(cid).n_blocks
-        planes[cid][:] = stack[off : off + nb_c]
+        planes[cid][:] = c[off : off + nb_c]
         off += nb_c
-    return n_use // bpm
+    from .lockstep_jax import _cached_plan
+
+    plan = _cached_plan(
+        geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
+    )
+    return n_use // plan.blocks_per_mcu
 
 
 def decode_scan_speculative(

@@ -62,7 +62,13 @@ def _decode_impl(
         segs_per_frame=segs_per_frame,
     )
     coeffs = coeffs.reshape(frames, total_blocks, 64)
+    return _dense_from_coeffs(coeffs, geom, qtables), starved
 
+
+def _dense_from_coeffs(coeffs, geom: FrameGeometry, qtables):
+    """[F, total_blocks, 64] plane-ordered coefficients -> device pixels
+    [F, H, W, C] (the fast dense pipeline; shared by the restart-segment
+    and speculative decode paths)."""
     size_y, size_x = geom.size_y, geom.size_x
     chans = []
     off = 0
@@ -97,7 +103,7 @@ def _decode_impl(
         px = jnp.stack(
             [quantize_u8(r), quantize_u8(g), quantize_u8(b)], axis=-1
         )
-        return px[:, : geom.height, : geom.width, :], starved
+        return px[:, : geom.height, : geom.width, :]
 
     frame = jnp.stack(chans, axis=-1)
     rgb = to_rgb(frame, geom.precision, exact=False)
@@ -105,7 +111,7 @@ def _decode_impl(
     # Drop the dummy K channel of YCCK frames (write_frame semantics,
     # frame.c:548-567): deliverable is RGB (or one gray channel).
     nch = 3 if geom.nf >= 3 else 1
-    return px[:, : geom.height, : geom.width, :nch], starved
+    return px[:, : geom.height, : geom.width, :nch]
 
 
 @partial(
@@ -378,3 +384,44 @@ class DeviceDecoder:
                 )
             rows.append(px)
         return jnp.asarray(np.stack(rows))
+
+
+@partial(jax.jit, static_argnames=("geom",))
+def _dense_only(geom, coeffs, qtables):
+    return _dense_from_coeffs(coeffs, geom, qtables)
+
+
+def decode_frame_rstless(data: bytes, lanes: int = 128):
+    """One RST-LESS JPEG -> device-resident pixels [H, W, C].
+
+    The speculative chunked entropy decode (entropy/speculative.py) and
+    the dense pipeline both run on the accelerator; only the compressed
+    stream goes up the wire and the pixels stay in HBM.  This is the
+    device-ingestion analog of DeviceDecoder for streams WITHOUT restart
+    markers (the reference decodes these strictly serially,
+    decoder.c:364-388).  Raises UnsupportedError when the stream defeats
+    speculative resolution -- fall back to ``decode_jpeg`` (host).
+    """
+    from ..api import _derive_cached
+    from ..entropy.speculative import _speculative_core
+
+    cs = parse_codestream(data)
+    geom = cs.geometry
+    if geom is None or len(cs.scans) != 1:
+        raise UnsupportedError("decode_frame_rstless wants one frame/scan")
+    scan = cs.scans[0]
+    if len(scan.ecs_ranges) != 1:
+        raise UnsupportedError(
+            "stream has restart markers; use DeviceDecoder instead"
+        )
+    tables = {k: _derive_cached(s) for k, s in scan.htables.items()}
+    seg = unstuff(data[scan.ecs_ranges[0][0] : scan.ecs_ranges[0][1]])
+    res = _speculative_core(geom, scan.info, tables, seg, lanes)
+    if res is None:
+        raise UnsupportedError(
+            "speculative resolution failed (corrupt or pathological "
+            "stream); decode on the host with decode_jpeg"
+        )
+    coeffs, _ = res
+    qts = jnp.asarray(cs.qtables.astype(np.int32))
+    return _dense_only(geom, coeffs[None], qts)[0]

@@ -117,3 +117,29 @@ def test_speculative_12bit_gray():
         EncodeParams(quality=80, optimize=True),
     )
     _check(data, lanes=8)
+
+
+def test_decode_frame_rstless_device():
+    """Device-resident RST-less decode: stream in, HBM pixels out,
+    within +-1 of the host fast path."""
+    import jpeg_tpu
+    from jpeg_tpu.models.device_decode import decode_frame_rstless
+
+    data = encode_jpeg(
+        make_ppm(320, 240, seed=13), EncodeParams(h=2, v=2, quality=80)
+    )
+    px = np.asarray(decode_frame_rstless(data, lanes=16))
+    want = jpeg_tpu.decode_jpeg(data, exact=False).pixels()
+    assert px.shape == want.shape
+    assert np.abs(px.astype(np.int32) - want).max() <= 1
+
+
+def test_decode_frame_rstless_device_gray():
+    import jpeg_tpu
+    from jpeg_tpu.models.device_decode import decode_frame_rstless
+
+    data = encode_jpeg(make_pgm(300, 200, seed=6), EncodeParams(quality=70))
+    px = np.asarray(decode_frame_rstless(data, lanes=12))
+    want = jpeg_tpu.decode_jpeg(data, exact=False).pixels()
+    assert px.shape == want.shape
+    assert np.abs(px.astype(np.int32) - want).max() <= 1
