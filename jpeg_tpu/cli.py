@@ -6,8 +6,10 @@
 
 ``python -m jpeg_tpu.cli encode [-h N] [-v N] [-q Q] [-o 0|1] [-r Ri]
                            [input.ppm|pgm [output.jpg]]``
-  mirrors encoder main() (encoder.c:669-724) with the same defaults
-  (H=2, V=1, q=75, optimize=1) plus the restart-interval extension -r.
+  mirrors encoder main() (encoder.c:669-724) with the same getopt
+  letters (-h/-v are the LUMA SAMPLING FACTORS, not help -- use
+  --help) and defaults (h=2, v=1, q=75, optimize=1), plus extensions:
+  -r restart interval, --fast, --entropy-backend.
 
 Exit status: 0 on success, 1 on failure, like the reference.
 """
@@ -157,9 +159,16 @@ def main(argv=None) -> int:
                         "garbage (the reference's stdout narration)")
     d.set_defaults(fn=_decode)
 
-    e = sub.add_parser("encode", help="PPM/PGM -> JPEG")
-    e.add_argument("-H", "--H", type=int, default=2, help="luma H sampling (1..2)")
-    e.add_argument("-V", "--V", type=int, default=1, help="luma V sampling (1..2)")
+    # add_help=False so the reference's getopt letters survive verbatim:
+    # -h is the LUMA H SAMPLING FACTOR (encoder.c:677-699), not help.
+    # --help still works.
+    e = sub.add_parser("encode", help="PPM/PGM -> JPEG", add_help=False)
+    e.add_argument("--help", action="help",
+                   help="show this help message and exit")
+    e.add_argument("-h", "-H", "--H", dest="H", type=int, default=2,
+                   help="luma H sampling (1..2; reference getopt -h)")
+    e.add_argument("-v", "-V", "--V", dest="V", type=int, default=1,
+                   help="luma V sampling (1..2; reference getopt -v)")
     e.add_argument("-q", "--quality", type=int, default=75)
     e.add_argument("-o", "--optimize", type=int, default=1)
     e.add_argument("-r", "--restart-interval", type=int, default=0,

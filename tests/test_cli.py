@@ -99,3 +99,16 @@ def test_sanitizer_mode_catches_truncation(sample, monkeypatch):
     bad = jpg[:-14] + jpg[-2:]
     with pytest.raises(JpegError):
         decode_coefficients(bad, entropy="serial")
+
+
+def test_encode_reference_getopt_letters(sample, tmp_path):
+    """-h/-v are the luma sampling factors exactly like the reference's
+    getopt (encoder.c:677-699); output is byte-identical at equal args."""
+    from refbin import ref_encode
+
+    td, ppm, _ = sample
+    out = tmp_path / "getopt.jpg"
+    rc = cli.main(["encode", "-h", "2", "-v", "2", "-q", "80",
+                   str(td / "in.ppm"), str(out)])
+    assert rc == 0
+    assert out.read_bytes() == ref_encode(ppm, h=2, v=2, q=80, optimize=1)
