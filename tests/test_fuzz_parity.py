@@ -89,3 +89,25 @@ def test_fuzz_corruption_parity():
             assert ours is None, f"{name}: we decoded what the reference rejects"
     # the corpus must actually exercise the graceful path
     assert agree >= 2, f"only {agree} mutations decoded gracefully"
+
+
+def test_fuzz_speculative_never_crashes():
+    """The speculative engine may DEVIATE on invalid input (documented
+    contract: parallel engines deviate only on invalid streams) but must
+    never crash, hang, or raise anything but JpegError; on streams it
+    resolves it must still be self-consistent (valid coefficient
+    shapes)."""
+    jpg = encode_jpeg(
+        make_ppm(160, 120, seed=78),
+        EncodeParams(h=2, v=2, quality=80, restart_interval=0, optimize=False),
+    )
+    for name, mut in _mutations(jpg):
+        try:
+            img = jpeg_tpu.decode_jpeg(mut, entropy="speculative")
+            assert img.frame.shape[-1] >= 1, name
+        except JpegError:
+            pass
+        except Exception as e:  # noqa: BLE001 - anything else is a bug
+            raise AssertionError(
+                f"{name}: non-JpegError {type(e).__name__}: {e}"
+            )
