@@ -397,9 +397,6 @@ def _speculative_core(
         << np.array([24, 16, 8, 0])
     ).sum(axis=2).astype(np.uint32)
     win_bits = np.maximum(np.minimum(starts + 2 * cb, n) * 8 - starts * 8, 0)
-    chunk_bits = np.maximum(
-        np.minimum(starts + cb, n) * 8 - starts * 8, 0
-    )  # stop offsets
 
     # Probe round 0: bpm phase variants per chunk (padded chunks are
     # dead lanes: win_bits=0).

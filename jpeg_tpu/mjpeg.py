@@ -101,7 +101,7 @@ def decode_stream_device(data: bytes, chunk: int = 8):
     Raises on malformed streams -- use ``decode_stream`` when per-frame
     fault isolation matters more than throughput.
     """
-    from .models.device_decode import DeviceDecoder
+    from .models.device_decode import DeviceDecoder, decode_frame_rstless
 
     parts = split_stream(data)
     if not parts:
@@ -109,6 +109,23 @@ def decode_stream_device(data: bytes, chunk: int = 8):
 
         raise FileIOError("no JPEG frames in stream")
     dec = DeviceDecoder.for_stream(parts[0])
+    if dec.segs_per_frame <= 1 and len(parts[0]) > 8192:
+        # RST-less frames have no restart lanes -- the batch engine would
+        # degenerate to one lane per frame.  Decode each frame with the
+        # speculative chunked engine instead (pixels stay in HBM).
+        import jax.numpy as jnp
+
+        from .errors import JpegError
+
+        frames_px = []
+        for p in parts:
+            try:
+                frames_px.append(decode_frame_rstless(p))
+            except JpegError:
+                # unresolvable frame: host fallback, then upload
+                img = decode_jpeg(p, exact=False)
+                frames_px.append(jnp.asarray(img.pixels().astype(np.uint8)))
+        return jnp.stack(frames_px)
     return dec.decode_batch(parts, chunk=chunk)
 
 

@@ -138,3 +138,22 @@ def test_split_stream_skips_embedded_thumbnail():
 
     img = jpeg_tpu.decode_jpeg(parts[0])
     assert img.width == 64 and img.height == 48
+
+
+def test_decode_stream_device_rstless():
+    """An MJPEG stream WITHOUT restart markers routes through the
+    speculative per-frame device path (one lane per frame would be the
+    degenerate alternative); pixels match the host fast path."""
+    import jpeg_tpu
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.mjpeg import decode_stream_device
+
+    params = EncodeParams(h=2, v=2, quality=80, restart_interval=0)
+    frames = [encode_jpeg(make_ppm(160, 120, seed=40 + i), params)
+              for i in range(3)]
+    assert all(f.find(b"\xff\xd0") < 0 for f in frames)  # truly RST-less
+    px = np.asarray(decode_stream_device(b"".join(frames)))
+    assert px.shape == (3, 120, 160, 3)
+    for i, f in enumerate(frames):
+        want = jpeg_tpu.decode_jpeg(f, exact=False).pixels()
+        assert np.abs(px[i].astype(np.int32) - want).max() <= 1
