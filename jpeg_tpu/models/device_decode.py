@@ -234,6 +234,9 @@ class DeviceDecoder:
         # Bucket the upload length (256 KiB steps) so jit traces reuse.
         # The buffer keeps >= wn words of tail slack so the device's
         # row dynamic_slice never clamps a real row's start.
+        # (A host-side padded-matrix build was tried -- uploads measured
+        # ~1.5 GB/s so the bigger upload is free -- but the host gather
+        # sits on the prep critical path and measured no better.)
         blen = (base + self.wn + 1 + 65535) // 65536 * 65536
         if blen > buf.size:
             buf = np.concatenate([buf, np.zeros(blen - buf.size, np.uint32)])
@@ -350,7 +353,18 @@ class DeviceDecoder:
                     flight.append([out, False, 0, None, hi - lo])
                     continue
                 flight.append([out, starved, steps, prepared, hi - lo])
-            for rec in flight:  # lazy starvation sweep (syncs only here)
+            # Lazy starvation sweep.  All chunks' flags come back in ONE
+            # device round trip -- a blocking scalar get costs a full
+            # tunnel RTT (~10-20 ms here), so 8 per-chunk bool() checks
+            # were ~100 ms of pure latency.
+            live = [rec for rec in flight if rec[3] is not None]
+            if live:
+                packed = np.asarray(
+                    jnp.stack([jnp.reshape(rec[1], ()) for rec in live])
+                )
+                for rec, flag in zip(live, packed):
+                    rec[1] = bool(flag)
+            for rec in flight:  # rare per-chunk retries sync individually
                 while rec[3] is not None and bool(rec[1]):
                     default_metrics.count("device_decode.starve_retries")
                     nb64 = rec[3][3].astype(np.int64)
