@@ -777,16 +777,22 @@ def encode_scan_device3(
     k_in_b = iw - startp
     valid_w = iw < w_total
     b_c = jnp.clip(b_of_w, 0, B - 1)
-    nat_row = b_c if nat_of is None else jnp.take(nat_of, b_c)
+    # Per-compact-word gathers dominate the merge (~10 ns/elem over
+    # w_cap); fold the (row, destination-bit) lookups into ONE
+    # precomputed [B] base each so only two takes remain.
+    src_base = (
+        jnp.arange(B, dtype=i32) * wb_cap
+        if nat_of is None
+        else nat_of * wb_cap
+    )
     wval = jnp.take(
         words_blk.reshape(-1),
-        nat_row * wb_cap + jnp.clip(k_in_b, 0, wb_cap - 1),
+        jnp.take(src_base, b_c) + jnp.clip(k_in_b, 0, wb_cap - 1),
         mode="clip",
     )
     wval = jnp.where(valid_w, wval, u32(0))
-    bitoff = jnp.take(off_in_seg, b_c) + 32 * k_in_b
-    segw = jnp.take(seg_of_block, b_c)
-    dstbit = segw * (words_per_seg * 32) + bitoff
+    dst_base = seg_of_block * (words_per_seg * 32) + off_in_seg  # [B]
+    dstbit = jnp.take(dst_base, b_c) + 32 * k_in_b
     r = (dstbit & 31).astype(u32)
     wi = dstbit >> 5
     hi = wval >> r
