@@ -177,7 +177,7 @@ def decode_coefficients(
             from .entropy.speculative import decode_scan_speculative
 
             n = decode_scan_speculative(
-                geom, scan.info, tables, segments, planes
+                geom, scan.info, tables, segments, planes, ri=scan.ri
             )
         else:
             raise UnsupportedError(f"unknown entropy backend {entropy!r}")

@@ -594,6 +594,17 @@ def encode_scan_device3(
     2 = nz_cap, 3 = wpb_cap (callers grow the bound that tripped).
     Byte-identical to v2 / the host packer (encoder.c:560-587 semantics).
     """
+    if n_segments * words_per_seg * 32 >= 2**31:
+        # dst_base/dstbit below are int32 bit offsets into the flat
+        # [n_segments * words_per_seg] word array; past 2^31 they wrap
+        # negative and the merge scatters into wrong words with no
+        # overflow bit.  Both factors are static, so this is trace-time
+        # (mirrors the v2 n_segments guard above).
+        raise ValueError(
+            f"n_segments={n_segments} * words_per_seg={words_per_seg} "
+            "* 32 overflows the int32 bit-offset space; encode in "
+            "smaller chunks"
+        )
     B = zz.shape[0]
     T = ehufco.shape[0]
     i32 = jnp.int32

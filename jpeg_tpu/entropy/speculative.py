@@ -662,9 +662,23 @@ def decode_scan_speculative(
     segments,
     planes: Dict[int, np.ndarray],
     lanes: int = 128,
+    ri: int = 0,
 ) -> int:
-    """Scan-level wrapper: speculative decode per ECS segment (streams
-    WITH restart markers should use the restart engines instead)."""
+    """Scan-level wrapper: speculative decode for RST-less scans.
+
+    A scan WITH restart markers (more than one ECS segment) already has
+    explicit synchronization points, so speculation buys nothing there;
+    it routes to the restart-lane lockstep engine, which places each
+    segment's blocks at its true frame offset.  (Decoding segments
+    independently here would start each at block ordinal 0 and clobber
+    the previous segment -- the round-2 advisor finding.)
+    """
+    if len(segments) > 1:
+        from .lockstep_jax import decode_scan_lockstep_jax
+
+        return decode_scan_lockstep_jax(
+            geom, info, tables, list(segments), planes, ri=ri
+        )
     count = 0
     for seg in segments:
         count += decode_scan_speculative_jax(

@@ -102,6 +102,35 @@ def test_speculative_api_and_cli_path():
     assert img.to_pnm() == ref_decode(data)
 
 
+def test_speculative_with_restart_markers_routes_to_restart_engine():
+    """A scan WITH restart markers must decode exactly via the public
+    speculative entry (round-2 advisor finding: per-segment speculation
+    placed every segment at block 0 and clobbered its predecessors)."""
+    data = encode_jpeg(
+        make_ppm(160, 120, seed=31),
+        EncodeParams(h=2, v=2, quality=80, restart_interval=2),
+    )
+    import jpeg_tpu
+
+    img = jpeg_tpu.decode_jpeg(data, entropy="speculative")
+    assert img.to_pnm() == ref_decode(data)
+
+    # And directly through the scan wrapper vs the serial oracle.
+    cs = parse_codestream(data)
+    scan = cs.scans[0]
+    assert len(scan.ecs_ranges) > 1  # restart markers present
+    segs = [unstuff(data[s:e]) for (s, e) in scan.ecs_ranges]
+    tables = {k: derive_table(s) for k, s in scan.htables.items()}
+    p_ser, p_spec = _planes(cs.geometry), _planes(cs.geometry)
+    decode_scan_serial(cs.geometry, scan.info, tables, segs, p_ser)
+    n = spec.decode_scan_speculative(
+        cs.geometry, scan.info, tables, segs, p_spec, ri=scan.ri
+    )
+    assert n == cs.geometry.n_mcus
+    for cid in p_ser:
+        np.testing.assert_array_equal(p_ser[cid], p_spec[cid])
+
+
 def test_speculative_tiny_stream_falls_back():
     """Streams too small to chunk route to the serial oracle."""
     data = encode_jpeg(make_ppm(24, 16, seed=9), EncodeParams(quality=75))
