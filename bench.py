@@ -1,7 +1,7 @@
 """Benchmark: Motion-JPEG 1080p 4:2:0 decode throughput on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
 
 Primary metric: sustained stream decode to DEVICE-resident uint8 frames
 -- the TPU-ingestion deployment shape (compressed bytes go up the wire,
@@ -9,13 +9,20 @@ entropy + dense decode run on the chip, pixels stay in HBM for
 downstream models).  A 64-frame stream is decoded in pipelined chunks;
 host prep (native scan/unstuff/pack) and uploads overlap device decode.
 
+Jitter defense (the shared box drifts 3-10x in phases): every timed
+section repeats ADAPTIVELY -- at least MIN_REPS, then keeps going until
+STABLE consecutive reps land within TOL of the running best (evidence
+the box is in a fast phase and the best has converged), up to MAX_REPS.
+Best-of is reported.  Back-to-back runs should agree within ~5%.
+
+Secondary numbers (stderr + extra JSON keys): device-resident decode
+rate (uploads excluded -- what a PCIe-attached host would see), device
+encode with default and optimized (two-pass K.2) tables, and the
+speculative RST-less stream decode rate.
+
 Baseline: the reference C decoder (single core, its only mode) on the
 same frames, measured BEFORE the TPU runtime starts so its busy-wait
 threads don't starve the baseline.
-
-A secondary decode-to-host number (native C++ entropy + jitted dense) is
-reported on stderr; on this dev environment it is tunnel-bandwidth-bound
-(~22 MB/s device->host), not representative of local TPU attach.
 """
 
 from __future__ import annotations
@@ -36,8 +43,41 @@ WIDTH, HEIGHT = 1920, 1080
 FRAMES = 64  # stream length; 16 unique frame contents repeated
 UNIQUE = 16
 RESTART_INTERVAL = 4  # MCUs per segment -> 2040 lanes/frame at 1080p 4:2:0
-REPEATS = 6  # best-of, riding out shared-host/tunnel jitter
 CHUNK = 8  # frames per pipelined chunk inside decode_batch
+
+# Adaptive repeat policy (see module docstring).
+MIN_REPS = 6
+MAX_REPS = 18
+STABLE = 3
+TOL = 0.04
+
+log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
+
+
+def stable_best(fn, mpix: float, label: str,
+                min_reps: int = MIN_REPS, max_reps: int = MAX_REPS,
+                stable: int = STABLE, tol: float = TOL) -> float:
+    """Best-of Mpix/s with adaptive reps.  ``fn()`` runs one full timed
+    unit and blocks until the result is ready; ``mpix`` is the Mpix it
+    covers.  Stops once `stable` consecutive reps fail to beat the best
+    by more than `tol` AND sit within `tol` of it (fast-phase evidence),
+    or at max_reps."""
+    best, near = 0.0, 0
+    for rep in range(max_reps):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        r = mpix / dt
+        if r > best * (1 + tol):
+            best, near = max(best, r), 0
+        else:
+            best = max(best, r)
+            near = near + 1 if r >= best * (1 - tol) else 0
+        log(f"  {label}: rep {rep + 1} {dt:.3f}s -> {r:.1f} Mpix/s"
+            f" (best {best:.1f}, stable {near}/{stable})")
+        if rep + 1 >= min_reps and near >= stable:
+            break
+    return best
 
 
 def make_frame_ppm(seed: int) -> bytes:
@@ -65,31 +105,31 @@ def time_reference(jpegs: list) -> float:
     build = ensure_reference_binaries()
     if build is None:
         return 0.0
-    best = 0.0
     with tempfile.TemporaryDirectory() as td:
         paths = []
         for i, jpg in enumerate(jpegs):
             p = Path(td) / f"in{i}.jpg"
             p.write_bytes(jpg)
             paths.append(p)
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            for i, p in enumerate(paths):
+
+        def one():
+            for p in paths:
                 res = subprocess.run(
                     [str(build / "decoder"), str(p), str(Path(td) / "out.ppm")],
                     stdout=subprocess.DEVNULL,
                     stderr=subprocess.DEVNULL,
                 )
                 if res.returncode != 0:
-                    return 0.0
-            dt = time.perf_counter() - t0
-            best = max(best, len(jpegs) * WIDTH * HEIGHT / dt / 1e6)
-    return best
+                    raise RuntimeError("reference decoder failed")
+
+        try:
+            mpix = len(jpegs) * WIDTH * HEIGHT / 1e6
+            return stable_best(one, mpix, "reference", min_reps=4, max_reps=8)
+        except RuntimeError:
+            return 0.0
 
 
 def main() -> None:
-    log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
-
     # ---- encode the corpus on CPU (before the TPU runtime wakes up) ---
     import jax
 
@@ -116,9 +156,11 @@ def main() -> None:
 
     # Reference throughput is per-frame; timing the unique frames suffices.
     baseline = time_reference(unique)
-    log(f"reference baseline: {baseline:.1f} Mpix/s (single core, best of {REPEATS})")
+    log(f"reference baseline: {baseline:.1f} Mpix/s (single core)")
 
-    # ---- device batch decode ------------------------------------------
+    extra = {}
+
+    # ---- device batch decode (the headline) ---------------------------
     log(f"devices: {jax.devices()}")
     from jpeg_tpu.models.device_decode import DeviceDecoder
 
@@ -128,23 +170,18 @@ def main() -> None:
     out.block_until_ready()
     log(f"warmup (compile): {time.perf_counter()-t0:.1f}s; out {out.shape} {out.dtype}")
 
-    best = 0.0
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        out = dec.decode_batch(jpegs, chunk=CHUNK)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        best = max(best, FRAMES * WIDTH * HEIGHT / dt / 1e6)
-        log(f"stream decode: {FRAMES} frames in {dt:.2f}s -> "
-            f"{FRAMES/dt:.1f} fps, {FRAMES*WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s")
+    def one_stream():
+        dec.decode_batch(jpegs, chunk=CHUNK).block_until_ready()
 
-    # ---- secondary: device-resident decode rate (uploads excluded) ----
+    best = stable_best(one_stream, FRAMES * WIDTH * HEIGHT / 1e6, "stream decode")
+    log(f"stream decode best: {best:.1f} Mpix/s")
+
+    # ---- device-resident decode rate (uploads excluded) ---------------
     # The dev tunnel here moves ~25 MB/s, which pins the end-to-end
     # number at (stream bytes / 25 MB/s); re-decoding device-resident
-    # words shows what a PCIe-attached host would sustain.
+    # words shows what a PCIe-attached host would sustain.  Amortized:
+    # 8 async dispatches per timed unit, one sync.
     try:
-        import jax.numpy as jnp
-
         from jpeg_tpu.models.device_decode import _decode_device_flat
 
         prepared = dec.prepare(jpegs[:CHUNK])
@@ -156,34 +193,78 @@ def main() -> None:
             dq = jax.device_put(qts)
             args = (dec.plan, dec.geom, db, ds, dn, dq, dec.max_steps,
                     CHUNK, dec.segs_per_frame, dec.wn)
-            r = _decode_device_flat(*args)
-            jax.block_until_ready(r)
-            t0 = time.perf_counter()
-            rs = [_decode_device_flat(*args) for _ in range(8)]
-            jax.block_until_ready(rs[-1])
-            dt = (time.perf_counter() - t0) / 8
-            log(f"device-resident decode (words already in HBM): "
-                f"{CHUNK*WIDTH*HEIGHT/1e6/dt:.1f} Mpix/s")
+            jax.block_until_ready(_decode_device_flat(*args))
+
+            def one_resident():
+                rs = [_decode_device_flat(*args) for _ in range(8)]
+                jax.block_until_ready(rs[-1])
+
+            dr = stable_best(
+                one_resident, 8 * CHUNK * WIDTH * HEIGHT / 1e6,
+                "device-resident", min_reps=4, max_reps=12,
+            )
+            log(f"device-resident decode (words already in HBM): {dr:.1f} Mpix/s")
+            extra["device_resident_decode_Mpix_s"] = round(dr, 1)
     except Exception as e:  # diagnostic only; never fail the bench
         log(f"device-resident probe skipped: {type(e).__name__}: {e}")
 
-    # ---- secondary: device-side encode (pixels in HBM -> JPEG bytes) ---
+    # ---- speculative RST-less stream decode ---------------------------
+    # Streams WITHOUT restart markers: the reference reads them strictly
+    # serially (decoder.c:364-388); the speculative chunked engine is the
+    # TPU answer.  Same content, restart_interval=0.
+    try:
+        from jpeg_tpu import mjpeg
+
+        params_rl = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                                 restart_interval=0, exact=False)
+        n_rl = 8
+        rl_unique = [encode_jpeg(make_frame_ppm(s), params_rl)
+                     for s in range(min(UNIQUE, n_rl))]
+        rl_stream = b"".join(rl_unique[s % len(rl_unique)] for s in range(n_rl))
+        px = mjpeg.decode_stream_device(rl_stream)
+        jax.block_until_ready(px)
+
+        def one_rl():
+            jax.block_until_ready(mjpeg.decode_stream_device(rl_stream))
+
+        sp = stable_best(one_rl, n_rl * WIDTH * HEIGHT / 1e6,
+                         "rstless decode", min_reps=2, max_reps=6)
+        log(f"speculative RST-less stream decode: {sp:.1f} Mpix/s "
+            f"(reference decodes these serially at ~{baseline:.0f})")
+        extra["rstless_stream_decode_Mpix_s"] = round(sp, 1)
+    except Exception as e:
+        log(f"RST-less probe skipped: {type(e).__name__}: {e}")
+
+    # ---- device-side encode (pixels in HBM -> JPEG bytes) -------------
     import jpeg_tpu
     from jpeg_tpu.utils.pnm import read_pnm
 
     pix = np.stack([read_pnm(make_frame_ppm(s)).data for s in range(UNIQUE)])
-    enc = jpeg_tpu.DeviceEncoder.for_config(HEIGHT, WIDTH, 3, params)
     dpix = jax.device_put(pix.astype(np.uint8))
-    enc.encode_batch(dpix)  # warm/compile
-    best_enc = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        enc.encode_batch(dpix)
-        dt = time.perf_counter() - t0
-        best_enc = max(best_enc, UNIQUE * WIDTH * HEIGHT / dt / 1e6)
-    log(f"device encode (HBM pixels -> JPEG): {best_enc:.1f} Mpix/s")
+    try:
+        enc = jpeg_tpu.DeviceEncoder.for_config(HEIGHT, WIDTH, 3, params)
+        enc.encode_batch(dpix)  # warm/compile
+        be = stable_best(lambda: enc.encode_batch(dpix),
+                         UNIQUE * WIDTH * HEIGHT / 1e6, "device encode",
+                         min_reps=4, max_reps=12)
+        log(f"device encode (HBM pixels -> JPEG): {be:.1f} Mpix/s")
+        extra["device_encode_Mpix_s"] = round(be, 1)
+    except Exception as e:
+        log(f"device encode probe skipped: {type(e).__name__}: {e}")
 
-    # ---- secondary: decode to host (tunnel-bound in this environment) -
+    # Two-pass optimized-table path (on-device histogram psum + K.2 +
+    # second pass) -- the flagship optimize=True pipeline.
+    try:
+        enc.encode_batch(dpix, optimize=True)  # warm/compile
+        bo = stable_best(lambda: enc.encode_batch(dpix, optimize=True),
+                         UNIQUE * WIDTH * HEIGHT / 1e6, "encode optimize=True",
+                         min_reps=3, max_reps=8)
+        log(f"device encode optimize=True (two-pass K.2): {bo:.1f} Mpix/s")
+        extra["device_encode_optimized_Mpix_s"] = round(bo, 1)
+    except Exception as e:
+        log(f"optimized encode probe skipped: {type(e).__name__}: {e}")
+
+    # ---- decode to host (tunnel-bound in this environment) ------------
     jpeg_tpu.decode_jpeg(jpegs[0], exact=False)  # warm
     t0 = time.perf_counter()
     jpeg_tpu.decode_jpeg(jpegs[1], exact=False)
@@ -200,6 +281,7 @@ def main() -> None:
                 "value": round(best, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(best / baseline, 2) if baseline else None,
+                **extra,
             }
         )
     )

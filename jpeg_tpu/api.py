@@ -101,7 +101,17 @@ def expected_mcus(geom: FrameGeometry, info) -> int:
 def checks_enabled() -> bool:
     """Sanitizer mode (SURVEY §5): JPEG_TPU_CHECKS=1 arms extra decode
     invariant checks (MCU-count vs geometry, NaN guards in fast paths)."""
-    return os.environ.get("JPEG_TPU_CHECKS", "") not in ("", "0")
+    return checks_level() >= 1
+
+
+def checks_level() -> int:
+    """JPEG_TPU_CHECKS tiers: 0 off, 1 host-side invariants, 2 adds
+    in-kernel jax.experimental.checkify checks on the lockstep scan +
+    placement (CPU test tier; the checks retrace the program)."""
+    v = os.environ.get("JPEG_TPU_CHECKS", "")
+    if not v or v == "0":
+        return 0
+    return int(v) if v.isdigit() else 1
 
 
 def decode_coefficients(

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import ZIGZAG
+from ..errors import CorruptStream
 from ..geometry import FrameGeometry, ScanInfo
 from ..tables import HuffTable, derive_table
 from .lockstep import ScanPlan, build_scan_plan
@@ -245,7 +246,8 @@ def _symbol_step(plan: ScanPlan, k, words, nbits, iota_w, iota256, carry):
     return carry, (em_key, em_val, ad_key, ad_val)
 
 
-def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry):
+def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
+                        checks: bool = False):
     """Scalarized symbol step: every intermediate is an [S]-shaped vector.
 
     The broadcast engine (``_symbol_step``) builds [S,16]/[S,64] one-hot
@@ -342,6 +344,23 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry)
     zrl = jnp.where(is_dc, 0, rs >> 4)
     new_coeff = jnp.where(is_dc, 1, coeff + zrl)
     ac_corrupt = (~die) & (~is_dc) & (~is_eob) & (new_coeff > 63)
+    if checks:
+        # Sanitizer tier (JPEG_TPU_CHECKS=2, SURVEY §5): the production
+        # path silently kills a lane on an invalid symbol (the graceful
+        # NULL-block degradation the reference also performs); under the
+        # checkified CPU test path that becomes a hard error.  Gated on
+        # the symbol FITTING (tail 1-padding legitimately fails the
+        # prefix match when fewer than 16 bits remain).
+        from jax.experimental import checkify
+
+        fits = bitpos + 16 <= nbits
+        bad = alive & fits & (corrupt | ac_corrupt)
+        checkify.check(
+            ~bad.any(),
+            "lockstep sanitizer: live lane hit an invalid Huffman symbol "
+            "(bad prefix, DC category > 16, or AC run past 63) -- corrupt "
+            "stream or kernel bug",
+        )
     die = die | dc_null | ac_corrupt
     live = (~die) & alive
 
@@ -399,12 +418,15 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry)
     return carry, (em_key, em_val)
 
 
-def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int):
+def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int,
+                checks: bool = False):
     """Run the lockstep symbol scan over all lanes (no placement).
 
     Returns (mcu_counts [S], (em_key, em_val) [steps, S], starved).
     Split out so cross-chip callers can inject global placement offsets
-    (parallel/sharding.make_sharded_frame_decoder).
+    (parallel/sharding.make_sharded_frame_decoder).  ``checks`` arms the
+    checkify sanitizer tier (JPEG_TPU_CHECKS=2): callers must then run
+    the program under ``checkify.checkify``.
     """
     S = words.shape[0]
     words_t = words.T  # [Wn, S]: refill loop reads contiguous rows
@@ -430,7 +452,8 @@ def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int):
     )
 
     def step(carry, _):
-        return _symbol_step_scalar(plan, nbits, words_t, hv_cols, iota_hv, carry)
+        return _symbol_step_scalar(plan, nbits, words_t, hv_cols, iota_hv,
+                                   carry, checks=checks)
 
     carry, (em_key, em_val) = jax.lax.scan(
         step, init, None, length=max_steps, unroll=UNROLL
@@ -442,7 +465,8 @@ def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int):
 
 @partial(
     jax.jit,
-    static_argnames=("plan", "max_steps", "total_blocks", "frames", "segs_per_frame"),
+    static_argnames=("plan", "max_steps", "total_blocks", "frames",
+                     "segs_per_frame", "checks"),
 )
 def decode_scan_device(
     plan: ScanPlan,
@@ -452,6 +476,7 @@ def decode_scan_device(
     total_blocks: int,  # blocks per frame
     frames: int = 1,
     segs_per_frame: int = 0,  # 0 -> S (single frame)
+    checks: bool = False,  # checkify sanitizer tier (JPEG_TPU_CHECKS=2)
 ):
     """On-device scan decode -> (counts[S], coeffs[frames*total_blocks, 64]).
 
@@ -461,16 +486,18 @@ def decode_scan_device(
     S = words.shape[0]
     spf = segs_per_frame or S
     mcu_counts, (em_key, em_val), starved = _scan_lanes(
-        plan, words, nbits, max_steps
+        plan, words, nbits, max_steps, checks=checks
     )
     coeffs = _place_emissions(
         plan, mcu_counts, [(em_key, em_val)], frames, spf, total_blocks,
+        checks=checks,
     )
     return mcu_counts, coeffs, starved
 
 
 def _place_emissions(
     plan, mcu_counts, streams, frames, spf, total_blocks, seg_offset=None,
+    checks: bool = False,
 ):
     """Global placement: prefix-sum of per-lane MCU counts + flat scatters.
 
@@ -524,6 +551,20 @@ def _place_emissions(
             blk = seq + slotc(po, slot)
         good = (keys > 0) & (seq < slotc(nb, slot))
         flat = (frame_base[None, :] + blk) * 64 + pos
+        if checks:
+            # Sanitizer tier: the production scatter silently DROPS any
+            # out-of-range write (mode="drop") -- correct for the
+            # reference's NULL-block semantics but also the exact place
+            # a placement bug would hide.  Checkified, every valid-key
+            # emission must land in bounds.
+            from jax.experimental import checkify
+
+            inb = (flat >= 0) & (flat < frames * total_blocks * 64)
+            checkify.check(
+                (~good | inb).all(),
+                "lockstep sanitizer: coefficient placement out of bounds "
+                "(kernel bug)",
+            )
         # Invalid -> one-past-the-end (positive OOB is dropped; negative
         # indices would WRAP under numpy indexing semantics).
         oob = frames * total_blocks * 64
@@ -638,14 +679,36 @@ def decode_scan_lockstep_jax(
     max_steps = _max_steps_for(nbits, plan, ri)
     hard_cap = _max_steps_for(nbits, plan, ri, optimistic=False)
 
+    from ..api import checks_level
+
+    checks = checks_level() >= 2
     while True:
-        counts, coeffs, starved = decode_scan_device(
-            plan,
-            jnp.asarray(words),
-            jnp.asarray(nbits, dtype=jnp.int32),
-            max_steps,
-            total_blocks,
-        )
+        if checks:
+            # JPEG_TPU_CHECKS=2 (SURVEY §5 sanitizer row): run the scan +
+            # placement under jax.experimental.checkify so in-kernel
+            # invariant violations (invalid symbol on a live lane, OOB
+            # placement) raise instead of degrading silently.  CPU test
+            # tier -- the production path never pays for the checks.
+            from jax.experimental import checkify
+
+            err, (counts, coeffs, starved) = checkify.checkify(
+                lambda w, nb: decode_scan_device(
+                    plan, w, nb, max_steps, total_blocks, checks=True
+                ),
+                errors=checkify.user_checks,
+            )(jnp.asarray(words), jnp.asarray(nbits, dtype=jnp.int32))
+            try:
+                err.throw()
+            except Exception as e:
+                raise CorruptStream(f"sanitizer: {e}") from e
+        else:
+            counts, coeffs, starved = decode_scan_device(
+                plan,
+                jnp.asarray(words),
+                jnp.asarray(nbits, dtype=jnp.int32),
+                max_steps,
+                total_blocks,
+            )
         if not bool(starved) or max_steps >= hard_cap:
             break
         max_steps = _grow_steps(max_steps, hard_cap)

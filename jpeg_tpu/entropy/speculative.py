@@ -366,6 +366,15 @@ def _speculative_core(
     )
 
     def fallback(why=""):
+        # Silent de-parallelization must be observable: count every
+        # fallback (with its reason) in the default metrics so `-v` /
+        # metrics output reveals a stream that quietly went serial.
+        from ..utils.metrics import default_metrics
+
+        default_metrics.count("speculative.fallbacks")
+        default_metrics.count(
+            f"speculative.fallback[{why.split(':')[0] or 'unknown'}]"
+        )
         if os.environ.get("JPEG_TPU_SPEC_DEBUG"):
             print(f"[speculative] fallback: {why}", flush=True)
         return None

@@ -52,7 +52,7 @@ def _decode_impl(
     segs_per_frame: int,
 ):
     total_blocks = sum(c.n_blocks for c in geom.components)
-    _, coeffs, starved = decode_scan_device(
+    counts, coeffs, starved = decode_scan_device(
         plan,
         words,
         nbits,
@@ -62,7 +62,11 @@ def _decode_impl(
         segs_per_frame=segs_per_frame,
     )
     coeffs = coeffs.reshape(frames, total_blocks, 64)
-    return _dense_from_coeffs(coeffs, geom, qtables), starved
+    # Total decoded MCUs: the always-on cheap invariant (the reference
+    # prints expected-vs-processed unconditionally, common.c:174).  The
+    # scalar rides back with the starvation flag -- zero extra round
+    # trips (decode_batch's lazy sweep).
+    return _dense_from_coeffs(coeffs, geom, qtables), starved, counts.sum()
 
 
 def _dense_from_coeffs(coeffs, geom: FrameGeometry, qtables):
@@ -281,7 +285,8 @@ class DeviceDecoder:
         return ("mat", words, None, nbits.astype(np.int32), qts)
 
     def _decode_prepared(self, prepared, frames: int):
-        """Dispatch one prepared chunk (async) -> (pixels, starved, steps)."""
+        """Dispatch one prepared chunk (async) -> (pixels, aux, steps),
+        aux = [starved, decoded_mcus] int32 device scalars (read lazily)."""
         kind, data, starts, nbits, qts = prepared
         nb64 = nbits.astype(np.int64)
         # Aggressive step bound from the ACTUAL chunk, raised to any bound
@@ -289,7 +294,7 @@ class DeviceDecoder:
         # caller) retries one bucket up and the learned bound sticks.
         max_steps = max(self.max_steps, _max_steps_for(nb64, self.plan, self.ri))
         if kind == "flat":
-            out, starved = _decode_device_flat(
+            out, starved, mcus = _decode_device_flat(
                 self.plan,
                 self.geom,
                 jnp.asarray(data),
@@ -302,7 +307,7 @@ class DeviceDecoder:
                 self.wn,
             )
         else:
-            out, starved = _decode_device(
+            out, starved, mcus = _decode_device(
                 self.plan,
                 self.geom,
                 jnp.asarray(data),
@@ -312,7 +317,10 @@ class DeviceDecoder:
                 frames,
                 self.segs_per_frame,
             )
-        return out, starved, max_steps
+        aux = jnp.stack(
+            [jnp.reshape(starved, ()).astype(jnp.int32), jnp.reshape(mcus, ())]
+        )
+        return out, aux, max_steps
 
     def decode_batch(self, jpegs: Sequence[bytes], chunk: int = 4):
         """-> device-resident pixel batch [F, H, W, C] (uint8/uint16).
@@ -340,7 +348,7 @@ class DeviceDecoder:
                     with trace("device_decode.prepare"):
                         prepared = self.prepare(jpegs[lo:hi])
                     with trace("device_decode.dispatch"):
-                        out, starved, steps = self._decode_prepared(
+                        out, aux, steps = self._decode_prepared(
                             prepared, hi - lo
                         )
                 except UnsupportedError:
@@ -350,22 +358,20 @@ class DeviceDecoder:
                     # (SURVEY §5 failure-isolation row).
                     default_metrics.count("device_decode.mixed_fallbacks")
                     out = self._fallback_chunk(jpegs[lo:hi])
-                    flight.append([out, False, 0, None, hi - lo])
+                    flight.append([out, None, 0, None, hi - lo])
                     continue
-                flight.append([out, starved, steps, prepared, hi - lo])
-            # Lazy starvation sweep.  All chunks' flags come back in ONE
-            # device round trip -- a blocking scalar get costs a full
-            # tunnel RTT (~10-20 ms here), so 8 per-chunk bool() checks
-            # were ~100 ms of pure latency.
+                flight.append([out, aux, steps, prepared, hi - lo])
+            # Lazy starvation + MCU-accounting sweep.  All chunks' flags
+            # come back in ONE device round trip -- a blocking scalar get
+            # costs a full tunnel RTT (~10-20 ms here), so 8 per-chunk
+            # bool() checks were ~100 ms of pure latency.
             live = [rec for rec in flight if rec[3] is not None]
             if live:
-                packed = np.asarray(
-                    jnp.stack([jnp.reshape(rec[1], ()) for rec in live])
-                )
-                for rec, flag in zip(live, packed):
-                    rec[1] = bool(flag)
+                packed = np.asarray(jnp.stack([rec[1] for rec in live]))
+                for rec, row in zip(live, packed):
+                    rec[1] = (bool(row[0]), int(row[1]))
             for rec in flight:  # rare per-chunk retries sync individually
-                while rec[3] is not None and bool(rec[1]):
+                while rec[3] is not None and rec[1][0]:
                     default_metrics.count("device_decode.starve_retries")
                     nb64 = rec[3][3].astype(np.int64)
                     hard_cap = _max_steps_for(
@@ -374,8 +380,26 @@ class DeviceDecoder:
                     if rec[2] >= hard_cap:
                         break
                     self.max_steps = _grow_steps(rec[2], hard_cap)
-                    rec[0], rec[1], rec[2] = self._decode_prepared(rec[3], rec[4])
+                    rec[0], aux, rec[2] = self._decode_prepared(rec[3], rec[4])
+                    row = np.asarray(aux)
+                    rec[1] = (bool(row[0]), int(row[1]))
                 self.max_steps = max(self.max_steps, rec[2])
+                if rec[3] is not None:
+                    # Always-on decoded-MCU accounting (common.c:174): a
+                    # placement bug or truncated frame that drops MCUs
+                    # must not ship silent black blocks.
+                    want = self.plan.n_mcus * rec[4]
+                    got = rec[1][1]
+                    if got != want:
+                        default_metrics.count("device_decode.short_mcus")
+                        import warnings
+
+                        warnings.warn(
+                            f"chunk decoded {got} MCUs, geometry expects "
+                            f"{want} (truncated or corrupt frames?)",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
             outs = [rec[0] for rec in flight]
             return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 

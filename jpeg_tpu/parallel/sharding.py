@@ -17,7 +17,7 @@ region.  Documented as not-applicable per SURVEY §2.2.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -108,7 +108,7 @@ def make_sharded_stream_decoder(
     fpd = frames // n
 
     def local(words, nbits, qtables):
-        px, starved = _decode_impl(
+        px, starved, _ = _decode_impl(
             plan, geom, words, nbits, qtables, max_steps, fpd, segs_per_frame
         )
         return px, starved.reshape(1)
@@ -178,6 +178,22 @@ def make_sharded_frame_decoder(
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=64)
+def _cached_frame_decoder(plan, mesh, n_segments, max_steps, total_blocks,
+                          axis):
+    """One compiled context-parallel decoder per (plan, mesh, shape).
+
+    ``make_sharded_frame_decoder`` closes a fresh ``local`` fn on every
+    call, so jit could never hit its cache across frames of a stream
+    (VERDICT r2 weak #4); keying on the compile-relevant tuple makes
+    frame 2..N of a stream reuse frame 1's executable (max_steps is
+    already pow2-bucketed by ``_max_steps_for(optimistic=False)``, so
+    same-shaped frames share a key)."""
+    return make_sharded_frame_decoder(
+        plan, mesh, n_segments, max_steps, total_blocks, axis=axis
+    )
+
+
 def decode_frame_sharded(data: bytes, mesh: Mesh, axis: str = "frame"):
     """Decode ONE JPEG's entropy across every device on ``axis``.
 
@@ -211,8 +227,8 @@ def decode_frame_sharded(data: bytes, mesh: Mesh, axis: str = "frame"):
         geom.by_id(cid).n_blocks for cid in scan.info.component_ids
     )
     steps = _max_steps_for(nbits, plan, scan.ri, optimistic=False)
-    decode = make_sharded_frame_decoder(
-        plan, mesh, len(segments), steps, total_blocks, axis=axis
+    decode = _cached_frame_decoder(
+        plan, mesh, len(segments), steps, total_blocks, axis
     )
     with mesh:
         coeffs, starved = decode(

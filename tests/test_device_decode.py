@@ -117,6 +117,31 @@ def test_device_batch_starve_retry():
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
 
 
+def test_short_mcu_accounting_fires_without_checks(monkeypatch):
+    """A truncated frame in a batch must trip the always-on decoded-MCU
+    accounting (the reference prints expected-vs-processed
+    unconditionally, common.c:174) -- no JPEG_TPU_CHECKS needed."""
+    monkeypatch.delenv("JPEG_TPU_CHECKS", raising=False)
+    params = EncodeParams(h=2, v=2, quality=75, restart_interval=2,
+                          optimize=False, exact=False)
+    good = encode_jpeg(make_ppm(64, 48, seed=7), params)
+    # Empty the final restart segment: keep the last RSTn, drop the tail
+    # ECS bytes, close with EOI -- 2 MCUs short of the geometry.
+    last = max(good.rfind(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    assert last > 0
+    bad = good[: last + 2] + b"\xff\xd9"
+    dec = DeviceDecoder.for_stream(good)
+    from jpeg_tpu.utils.metrics import default_metrics
+
+    before = default_metrics.counters.get("device_decode.short_mcus", 0)
+    with pytest.warns(RuntimeWarning, match="MCUs"):
+        batch = np.asarray(dec.decode_batch([good, bad]))
+    assert default_metrics.counters["device_decode.short_mcus"] == before + 1
+    # The intact frame still decodes correctly.
+    golden = jpeg_tpu.decode_jpeg(good, exact=True).pixels()
+    assert np.abs(batch[0].astype(int) - golden.astype(int)).max() <= 1
+
+
 def test_device_batch_ycck():
     """4-component YCCK/Adobe stream with restart markers through the
     batched device decoder (CMYK inversion runs on-device)."""
