@@ -67,6 +67,11 @@ def _load() -> Optional[ctypes.CDLL]:
             i8p, ctypes.c_int64, ctypes.c_int64,
             u32p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
         ]
+        lib.jt_prep_ecs_rows.restype = ctypes.c_int64
+        lib.jt_prep_ecs_rows.argtypes = [
+            i8p, ctypes.c_int64, ctypes.c_int64,
+            u32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, i64p,
+        ]
         lib.jt_prep_ecs_flat.restype = ctypes.c_int64
         lib.jt_prep_ecs_flat.argtypes = [
             i8p, ctypes.c_int64, ctypes.c_int64,
@@ -227,6 +232,36 @@ def prep_ecs_flat_native(
         )
     )
     return rc, int(used.value)
+
+
+def prep_ecs_rows_native(
+    data: bytes,
+    start: int,
+    out_rows: np.ndarray,  # [total_rows, wn] uint32, C-contiguous, zeroed
+    row_map: np.ndarray,  # [max_rows] int32: segment r -> absolute row
+    lens: np.ndarray,  # [max_rows] int32
+) -> int:
+    """Unstuff+pack one frame's segments directly into caller-chosen lane
+    rows of the padded matrix (no device rebuild gather; rows orderable
+    by predicted symbol count).  Returns segment count or <0 fallback."""
+    lib = _load()
+    assert lib is not None
+    assert out_rows.dtype == np.uint32 and out_rows.flags.c_contiguous
+    buf = np.frombuffer(data, dtype=np.uint8)
+    end_off = ctypes.c_int64(0)
+    return int(
+        lib.jt_prep_ecs_rows(
+            _ptr(buf, ctypes.c_uint8),
+            ctypes.c_int64(buf.size),
+            ctypes.c_int64(start),
+            out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(out_rows.shape[1]),
+            _ptr(row_map, ctypes.c_int32),
+            ctypes.c_int64(row_map.size),
+            _ptr(lens, ctypes.c_int32),
+            ctypes.byref(end_off),
+        )
+    )
 
 
 def prep_ecs_native(

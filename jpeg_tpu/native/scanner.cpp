@@ -292,6 +292,68 @@ int64_t jt_prep_ecs_flat(const uint8_t* data, int64_t n, int64_t start,
   return -1;
 }
 
+// Padded-matrix prep with a caller-chosen row order: segment r of this
+// frame writes into out + row_map[r] * wn.  The direct-to-lane-matrix
+// variant of jt_prep_ecs_flat: the host->device upload is then the
+// padded [S, wn] matrix itself and the device needs NO rebuild gather
+// (measured ~10 ms per 8-frame 1080p chunk); row_map lets the caller
+// order lanes by predicted symbol count for the phased scan.
+int64_t jt_prep_ecs_rows(const uint8_t* data, int64_t n, int64_t start,
+                         uint32_t* out, int64_t wn, const int32_t* row_map,
+                         int64_t max_rows, int32_t* lens, int64_t* end_off) {
+  if (max_rows <= 0) return -3;
+  const int64_t row_bytes = wn * 4;
+  uint32_t* row = out + (int64_t)row_map[0] * wn;
+  uint32_t acc = 0;
+  int64_t k = 0;
+  int64_t r = 0;
+  int64_t i = start;
+
+  auto close_row = [&]() {
+    if (k & 3) row[k >> 2] = acc << (8 * (4 - (k & 3)));
+    lens[r] = static_cast<int32_t>(k);
+    acc = 0;
+    k = 0;
+  };
+
+  while (i < n) {
+    uint8_t c = data[i];
+    if (c != 0xFF) {
+      if (k >= row_bytes) return -2;
+      acc = (acc << 8) | c;
+      if ((++k & 3) == 0) { row[(k >> 2) - 1] = acc; acc = 0; }
+      ++i;
+      continue;
+    }
+    if (i + 1 >= n) return -1;
+    uint8_t m = data[i + 1];
+    if (m == 0x00) {
+      if (k >= row_bytes) return -2;
+      acc = (acc << 8) | 0xFFu;
+      if ((++k & 3) == 0) { row[(k >> 2) - 1] = acc; acc = 0; }
+      i += 2;
+      continue;
+    }
+    int64_t j = i + 1;
+    while (j < n && data[j] == 0xFF) ++j;
+    if (j >= n) return -1;
+    m = data[j];
+    close_row();
+    if (m >= 0xD0 && m <= 0xD7) {
+      if (++r >= max_rows) return -3;
+      row = out + (int64_t)row_map[r] * wn;
+      i = j + 1;
+      continue;
+    }
+    if (m == 0xD9) {
+      *end_off = j + 1;
+      return r + 1;
+    }
+    return -1;
+  }
+  return -1;
+}
+
 int64_t jt_prep_ecs(const uint8_t* data, int64_t n, int64_t start,
                     uint32_t* out, int64_t wn, int64_t max_rows,
                     int32_t* lens, int64_t* end_off) {
