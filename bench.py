@@ -182,29 +182,46 @@ def main() -> None:
     # words shows what a PCIe-attached host would sustain.  Amortized:
     # 8 async dispatches per timed unit, one sync.
     try:
-        from jpeg_tpu.models.device_decode import _decode_device_flat
+        from jpeg_tpu.models.device_decode import (
+            _decode_device,
+            _decode_device_flat,
+            _decode_device_phased,
+        )
 
         prepared = dec.prepare(jpegs[:CHUNK])
-        if prepared[0] == "flat":
-            buf, starts, nbits, qts = prepared[1:]
-            db = jax.device_put(np.asarray(buf))
+        kind, data, starts, nbits, qts = prepared
+        dd = jax.device_put(np.asarray(data))
+        dn = jax.device_put(np.asarray(nbits))
+        dq = jax.device_put(np.asarray(qts))
+        if kind == "flat":
             ds = jax.device_put(starts)
-            dn = jax.device_put(nbits)
-            dq = jax.device_put(qts)
-            args = (dec.plan, dec.geom, db, ds, dn, dq, dec.max_steps,
-                    CHUNK, dec.segs_per_frame, dec.wn)
-            jax.block_until_ready(_decode_device_flat(*args))
+            fn = lambda: _decode_device_flat(  # noqa: E731
+                dec.plan, dec.geom, dd, ds, dn, dq, dec.max_steps, CHUNK,
+                dec.segs_per_frame, dec.wn)
+        elif kind == "mats":
+            dp = jax.device_put(np.asarray(starts))  # perm
+            phases = dec._phases_for(CHUNK, dec.max_steps)
+            log(f"device-resident probe: phased {phases}")
+            fn = lambda: _decode_device_phased(  # noqa: E731
+                dec.plan, dec.geom, dd, dn, dq, dp, phases, CHUNK,
+                dec.segs_per_frame)
+        else:
+            fn = lambda: _decode_device(  # noqa: E731
+                dec.plan, dec.geom, dd, dn, dq, dec.max_steps, CHUNK,
+                dec.segs_per_frame)
+        jax.block_until_ready(fn())
 
-            def one_resident():
-                rs = [_decode_device_flat(*args) for _ in range(8)]
-                jax.block_until_ready(rs[-1])
+        def one_resident():
+            rs = [fn() for _ in range(8)]
+            jax.block_until_ready(rs[-1])
 
-            dr = stable_best(
-                one_resident, 8 * CHUNK * WIDTH * HEIGHT / 1e6,
-                "device-resident", min_reps=4, max_reps=12,
-            )
-            log(f"device-resident decode (words already in HBM): {dr:.1f} Mpix/s")
-            extra["device_resident_decode_Mpix_s"] = round(dr, 1)
+        dr = stable_best(
+            one_resident, 8 * CHUNK * WIDTH * HEIGHT / 1e6,
+            "device-resident", min_reps=4, max_reps=12,
+        )
+        log(f"device-resident decode ({kind}; words already in HBM): "
+            f"{dr:.1f} Mpix/s")
+        extra["device_resident_decode_Mpix_s"] = round(dr, 1)
     except Exception as e:  # diagnostic only; never fail the bench
         log(f"device-resident probe skipped: {type(e).__name__}: {e}")
 

@@ -28,7 +28,7 @@ Pallas kernel, which shares its math.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -270,7 +270,11 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
     and decode never stalls.
     """
     (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff,
-     w0, w1, pend_key, pend_val) = carry
+     w0, w1, pend_key, pend_val, nsteps) = carry
+    # Per-lane consumed-step counter (the +1 pays for the delayed
+    # pending-DC flush): feeds the learned per-lane step bounds that the
+    # phased narrowed scan sorts lanes by (device_decode).
+    nsteps = nsteps + alive
     T = plan.maxcode.shape[0]
     bpm = plan.blocks_per_mcu
 
@@ -309,13 +313,24 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
     pref_l = code16 >> (16 - length)
     vidx = jnp.clip(base + pref_l - minc, 0, iota_hv.shape[1] - 1)
 
-    # value = huffval[tab, vidx] via one-hot matmul on the MXU: bf16 holds
-    # integers <= 256 exactly.
-    oh = (iota_hv == vidx[:, None]).astype(jnp.bfloat16)  # [S, Vpad]
-    picked = jnp.dot(oh, hv_cols, preferred_element_type=jnp.float32)  # [S, T]
-    value = picked[:, 0].astype(jnp.int32)
-    for t in range(1, T):
-        value = jnp.where(tab == t, picked[:, t].astype(jnp.int32), value)
+    # value = huffval[tab, vidx] via a NIBBLE-SPLIT one-hot matmul: a
+    # full [S, Vpad] bf16 one-hot materializes ~8 MB/step to HBM, which
+    # measurement pinned as the scan's dominant per-step cost; hi/lo
+    # nibble splitting shrinks the materialized operands 16x.  hv_cols
+    # is [16, T*G] with hv_cols[lo, t*G + hi] = huffval[t, hi*16+lo];
+    # bf16 holds the <=255 values and one-hot products exactly.
+    G = iota_hv.shape[1] // 16
+    lo = vidx & 15
+    hi = vidx >> 4
+    lo_oh = (jax.lax.broadcasted_iota(jnp.int32, (lo.shape[0], 16), 1)
+             == lo[:, None]).astype(jnp.bfloat16)
+    tmp = jnp.dot(lo_oh, hv_cols, preferred_element_type=jnp.bfloat16)
+    value = jnp.zeros_like(vidx)
+    for t in range(T):
+        pick_t = jnp.zeros(lo.shape[0], jnp.bfloat16)
+        for g in range(G):
+            pick_t = jnp.where(hi == g, tmp[:, t * G + g], pick_t)
+        value = jnp.where(tab == t, pick_t.astype(jnp.int32), value)
 
     # cat clamped to 16 so the 32-bit window shifts stay in range; the
     # corrupt test uses the raw value (DC categories > 16 kill the lane,
@@ -414,27 +429,37 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
     w1 = jnp.where(crossed, fetched, w1)
 
     carry = (bitpos, alive, mcu, slot, coeff, dc_pred, cur_diff,
-             w0, w1, pend_key, pend_val)
+             w0, w1, pend_key, pend_val, nsteps)
     return carry, (em_key, em_val)
+
+
+def _hv_consts(plan: ScanPlan):
+    """Nibble-split huffval constants: hv_cols [16, T*G] with
+    hv_cols[lo, t*G + hi] = huffval[t, hi*16 + lo] (see the lookup in
+    _symbol_step_scalar); iota_hv carries the padded table width."""
+    T = plan.huffval.shape[0]
+    vpad = ((plan.max_codes + 15) // 16) * 16
+    G = vpad // 16
+    hv = plan.huffval[:, :vpad].astype(np.float32)
+    arr = hv.reshape(T, G, 16).transpose(2, 0, 1).reshape(16, T * G)
+    return (jnp.asarray(arr).astype(jnp.bfloat16),
+            jnp.arange(vpad, dtype=jnp.int32)[None, :])
 
 
 def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int,
                 checks: bool = False):
     """Run the lockstep symbol scan over all lanes (no placement).
 
-    Returns (mcu_counts [S], (em_key, em_val) [steps, S], starved).
-    Split out so cross-chip callers can inject global placement offsets
-    (parallel/sharding.make_sharded_frame_decoder).  ``checks`` arms the
+    Returns (mcu_counts [S], (em_key, em_val) [steps, S], starved,
+    nsteps [S] -- per-lane consumed steps, the signal the learned-bound
+    phased scan sorts on).  Split out so cross-chip callers can inject
+    global placement offsets (parallel/sharding).  ``checks`` arms the
     checkify sanitizer tier (JPEG_TPU_CHECKS=2): callers must then run
     the program under ``checkify.checkify``.
     """
     S = words.shape[0]
     words_t = words.T  # [Wn, S]: refill loop reads contiguous rows
-    vpad = ((plan.max_codes + 63) // 64) * 64
-    hv_cols = jnp.asarray(plan.huffval[:, :vpad].astype(np.float32)).astype(
-        jnp.bfloat16
-    ).T  # [Vpad, T]
-    iota_hv = jnp.arange(vpad, dtype=jnp.int32)[None, :]
+    hv_cols, iota_hv = _hv_consts(plan)
 
     z = jnp.zeros(S, jnp.int32)
     init = (
@@ -449,6 +474,7 @@ def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int,
         words_t[1],
         z,
         z,
+        z,  # nsteps
     )
 
     def step(carry, _):
@@ -460,7 +486,71 @@ def _scan_lanes(plan: ScanPlan, words, nbits, max_steps: int,
     )
     # True when some lane still had symbols left: the caller's optimistic
     # step bound was too small and must retry with a larger one.
-    return carry[2], (em_key, em_val), carry[1].any()
+    return carry[2], (em_key, em_val), carry[1].any(), carry[11]
+
+
+def _scan_lanes_phased(plan: ScanPlan, words, nbits, phases):
+    """Lockstep scan with static lane NARROWING between phases.
+
+    ``phases`` = ((n_0, t_0), (n_1, t_1), ...) with n_0 = S and n_p
+    strictly decreasing: phase p runs t_p steps over the FIRST n_p lane
+    columns, continuing the sliced carry.  Lanes must arrive sorted by
+    predicted symbol count DESCENDING (device_decode learns the counts
+    from an earlier chunk of the stream and orders rows at native-prep
+    time), so short lanes finish in the early phases and the placement
+    scatter's attempts shrink from S x max_steps toward the true symbol
+    count.  A lane that leaves the lane set while still alive (or with
+    an unflushed pending-DC emission) marks the scan starved -- callers
+    retry on the classic single-phase path.
+
+    Returns (mcu_counts [S], [(em_key, em_val), ...] one per phase,
+    starved, nsteps [S]) with per-lane outputs in the SORTED order.
+    """
+    S = words.shape[0]
+    words_t = words.T
+    hv_cols, iota_hv = _hv_consts(plan)
+
+    z = jnp.zeros(S, jnp.int32)
+    carry = (
+        z,
+        nbits > 0,
+        z,
+        z,
+        z,
+        tuple(z for _ in range(plan.n_comps)),
+        z,
+        words_t[0],
+        words_t[1],
+        z,
+        z,
+        z,
+    )
+    streams = []
+    tails = []  # (counts, nsteps) of lanes retired after each phase
+    starved = jnp.asarray(False)
+    for p, (n_p, t_p) in enumerate(phases):
+        if p > 0:
+            carry = jax.tree_util.tree_map(lambda x: x[:n_p], carry)
+        wt = words_t[:, :n_p]
+        nb = nbits[:n_p]
+
+        def step(c, _, wt=wt, nb=nb):
+            return _symbol_step_scalar(plan, nb, wt, hv_cols, iota_hv, c)
+
+        carry, (ek, ev) = jax.lax.scan(
+            step, carry, None, length=t_p, unroll=UNROLL
+        )
+        streams.append((ek, ev))
+        n_next = phases[p + 1][0] if p + 1 < len(phases) else 0
+        # lanes [n_next, n_p) retire here: alive or unflushed pending-DC
+        # means the phase budget starved them
+        starved = starved | (
+            carry[1][n_next:] | (carry[9][n_next:] > 0)
+        ).any()
+        tails.append((carry[2][n_next:], carry[11][n_next:]))
+    counts = jnp.concatenate([t[0] for t in reversed(tails)])
+    nsteps = jnp.concatenate([t[1] for t in reversed(tails)])
+    return counts, streams, starved, nsteps
 
 
 @partial(
@@ -485,7 +575,7 @@ def decode_scan_device(
     """
     S = words.shape[0]
     spf = segs_per_frame or S
-    mcu_counts, (em_key, em_val), starved = _scan_lanes(
+    mcu_counts, (em_key, em_val), starved, _ = _scan_lanes(
         plan, words, nbits, max_steps, checks=checks
     )
     coeffs = _place_emissions(
@@ -497,7 +587,7 @@ def decode_scan_device(
 
 def _place_emissions(
     plan, mcu_counts, streams, frames, spf, total_blocks, seg_offset=None,
-    checks: bool = False,
+    checks: bool = False, perm=None, combine: Optional[str] = None,
 ):
     """Global placement: prefix-sum of per-lane MCU counts + flat scatters.
 
@@ -505,17 +595,30 @@ def _place_emissions(
     Per-lane quantities broadcast along the step axis (never gathered), and
     the per-slot block-index affinities collapse to three fused constants
     c0 + my*c1 + mx*c2 so the [steps, S] index math is a handful of
-    elementwise ops plus one divmod by m_x.  Both emission streams are
-    write-once, so they scatter with a single flat ``add`` each into the
-    zero-initialized coefficient buffer (TPU scatter cost ~ #updates; a
-    1-D flat add is the cheapest form).
+    elementwise ops plus one divmod by m_x.
+
+    ``perm`` (sorted-lane -> original-lane map) supports the phased
+    narrowed scan: per-lane inputs/outputs are then in SORTED order and
+    streams may be NARROWER than S (a prefix of the sorted lanes).
+    ``combine`` forces "set"/"add"; default: set for a single stream
+    (write-once slots, measured 1.56x over add on v5e), add otherwise --
+    the phased path passes "set" because its streams stay write-once.
     """
     S = mcu_counts.shape[0]
-    if seg_offset is None:
-        per_frame = mcu_counts.reshape(frames, spf)
-        seg_offset = (jnp.cumsum(per_frame, axis=1) - per_frame).reshape(S)
-    # [1, S] rows broadcast over steps; frame base folded into seg row base.
-    frame_base = (jnp.arange(S, dtype=jnp.int32) // spf) * total_blocks
+    if perm is not None:
+        counts_orig = jnp.zeros_like(mcu_counts).at[perm].set(mcu_counts)
+        pf = counts_orig.reshape(frames, spf)
+        seg_off_orig = (jnp.cumsum(pf, axis=1) - pf).reshape(S)
+        seg_offset = jnp.take(seg_off_orig, perm)
+        frame_base = (perm // spf) * total_blocks
+    else:
+        if seg_offset is None:
+            per_frame = mcu_counts.reshape(frames, spf)
+            seg_offset = (
+                jnp.cumsum(per_frame, axis=1) - per_frame
+            ).reshape(S)
+        # [1, S] rows broadcast over steps; frame base folds into seg base.
+        frame_base = (jnp.arange(S, dtype=jnp.int32) // spf) * total_blocks
 
     bpm = plan.blocks_per_mcu
     if plan.interleaved:
@@ -535,11 +638,12 @@ def _place_emissions(
         return out
 
     def place(keys):
+        w = keys.shape[1]  # stream width (<= S for narrowed phases)
         kk = keys - 1  # invalid -> -1
         pos = kk & 63
         slot = (kk >> 6) & 15
         local_mcu = kk >> 10
-        gmcu = local_mcu + seg_offset[None, :]
+        gmcu = local_mcu + seg_offset[None, :w]
         if plan.interleaved:
             my = gmcu // plan.m_x
             mx = gmcu - my * plan.m_x
@@ -550,7 +654,7 @@ def _place_emissions(
             seq = gmcu * bpm + slotc(c0 - po, slot)
             blk = seq + slotc(po, slot)
         good = (keys > 0) & (seq < slotc(nb, slot))
-        flat = (frame_base[None, :] + blk) * 64 + pos
+        flat = (frame_base[None, :w] + blk) * 64 + pos
         if checks:
             # Sanitizer tier: the production scatter silently DROPS any
             # out-of-range write (mode="drop") -- correct for the
@@ -570,15 +674,16 @@ def _place_emissions(
         oob = frames * total_blocks * 64
         return jnp.where(good, flat, oob).reshape(-1)
 
+    mode = combine or ("set" if len(streams) == 1 else "add")
     out = jnp.zeros(frames * total_blocks * 64, dtype=jnp.int32)
     for keys, vals in streams:
-        if len(streams) == 1:
-            # Single-stream engines (the production scan, speculative):
-            # valid keys are unique -- one writer per coefficient slot,
-            # the pending-DC emission owns pos 0 -- so scatter-SET
-            # applies: measured 1.56x faster than scatter-ADD on v5e
-            # (6.8 vs 10.6 ns/attempt), and this scatter dominates
-            # decode placement.
+        if mode == "set":
+            # Single-writer streams (the production scan, speculative,
+            # and every phase of the narrowed scan): one writer per
+            # coefficient slot, the pending-DC emission owns pos 0 --
+            # scatter-SET applies: measured 1.56x faster than
+            # scatter-ADD on v5e (6.8 vs 10.6 ns/attempt), and this
+            # scatter dominates decode placement.
             out = out.at[place(keys)].set(vals.reshape(-1), mode="drop")
         else:
             # Two-stream form (Pallas engine): the DC slot receives the

@@ -9,73 +9,97 @@ bit positions and the DC chain (decoder.c:350-355) are sequential.
 This module is the "ring-attention analog" for that case (SURVEY §2.2
 row 4; PAPERS.md GPU-decode recipe, arxiv 2111.09219): Huffman streams
 self-synchronize, so a decoder started at a wrong position converges to
-the true symbol boundaries after a short prefix.  Three phases:
+the true symbol boundaries after a short prefix.  Four phases, whose
+heavy data stays on the device (round-3 redesign -- round 2 downloaded
+an [L, ~3000] boundary matrix per frame over a ~25 MB/s link, which
+dominated the runtime at ~0.2x the serial reference):
 
   PROBE   split the unstuffed stream into S byte-aligned chunks; for
           every chunk spawn ``bpm`` speculative lanes (one per possible
           intra-MCU phase -- the Huffman TABLE sequence depends on the
           slot, so bit convergence alone is not enough for interleaved
-          color scans).  Each lane decodes its chunk plus the next (the
-          overflow window), recording its block-boundary states
-          (bit position, slot) -- no coefficients are kept.
-  RESOLVE (host, tiny data) authority flows from lane 0 (which starts
-          at the true stream origin): chunk i+1 is synchronized if the
-          authoritative end boundary of chunk i appears among chunk
-          i+1's recorded boundaries with the same slot phase.  Links
-          that miss re-probe from the now-known true state (batched, a
-          few rounds); pathological streams fall back to the serial
-          oracle.
-  FINAL   every chunk re-decodes its authoritative span from its true
-          start state, emitting coefficients keyed by GLOBAL block
-          ordinal; per-lane DC prefixes (the per-segment exclusive
-          prefix-sum of decoder.c:350-355, here per-chunk) are fixed up
-          afterwards, exactly like the restart-segment engines.
+          color scans).  Each lane decodes its chunk plus a short
+          overlap into the next, recording two compact block-boundary
+          lists: HEAD records (boundaries in the lane's own first
+          ``ov`` bytes -- where a successor's sync state must lie) and
+          TAIL records (boundaries inside the overlap).
+  MATCH   (device, same dispatch) every chunk's HEAD records scatter a
+          per-chunk bit -> (head-ordinal, variant, slot) membership
+          map; every lane walks its TAIL records and takes the FIRST
+          one present in its successor's map with the same slot phase
+          -- from a common (bit, slot) block-start state two decodes
+          are identical, so everything after is authoritative.  Only an
+          [L, 7] link-result table returns to the host.
+  RESOLVE (host, tiny) authority chains from chunk 0 through the link
+          results; missed links (slow-sync content, saturated record
+          caps) re-probe from the now-known true state in batched
+          rounds against the SAME device-resident maps, and a starved
+          authoritative lane triggers one whole-probe retry at a larger
+          step bound.
+  FINAL   every chunk re-decodes exactly its authoritative span,
+          emitting coefficients at their plane rows; per-chunk DC
+          totals prefix-sum across chunks afterwards (decoder.c:350-355
+          in the restart engines' shape), on device so the coefficients
+          never leave HBM.
+
+Frames of a Motion-JPEG stream batch: all frames' chunks ride ONE
+probe/match dispatch and ONE final dispatch
+(``_speculative_core_batch``), amortizing dispatch latency and the
+device round trips across the whole stream.
 
 Output is bit-identical to the serial oracle on valid streams; invalid
 streams may deviate (documented contract, PARITY.md) and anything
-unresolvable falls back to the oracle.
+unresolvable falls back to the serial oracle (counted in metrics).
 """
 
 from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import ZIGZAG
-from ..errors import CorruptStream
 from ..geometry import FrameGeometry, ScanInfo
 from ..tables import HuffTable
 from .lockstep import ScanPlan, build_scan_plan
 
 UNROLL = 8
+CHAIN_WN_MAX = 320  # select-chain refill viable up to this row width
+# Record capacities (scatter/gather cost in the match phase is ~7-10 ns
+# per attempted element x L lanes x cap, so keep these tight):
+# TCAP only needs the AUTHORITATIVE lane's sync-strip boundaries (true
+# content, ~30 bits/block over <=2048 strip bits); junk-track tails are
+# never consulted.  HCAP must cover a variant's junk prefix (~10
+# bits/block) through its convergence inside the strip.
+TCAP = 48  # tail-record capacity per lane (sync-strip boundaries)
+HCAP = 128  # head-record capacity per lane (first `ov` bytes)
+BIGKEY = 1 << 20
 
-
-def _win_select(words_flat, chunk_of_lane, wn, tgt):
-    """words[chunk_of_lane, tgt] as one flat gather ([L]-sized)."""
-    idx = chunk_of_lane * wn + jnp.clip(tgt, 0, wn - 1)
-    return jnp.take(words_flat, idx, mode="clip")
+# res[, :] columns returned by _probe_match
+R_SIG, R_M, R_PAY, R_PRET, R_TAIL0, R_ALIVE, R_BLK = range(7)
 
 
 def _spec_step(plan: ScanPlan, consts, carry):
     """One Huffman symbol on every speculative lane.
 
     Shares the scalarized math of lockstep_jax._symbol_step_scalar
-    (huffman.c:193-271 semantics) with three changes: the window refills
-    by a flat GATHER (windows here are whole chunks -- thousands of
-    words -- so the row-select loop of the restart engine would dominate),
-    the MCU counter is replaced by a local block ordinal ``blk``, and
-    block starts emit a boundary record (bitpos<<4 | slot) used by the
-    resolution phase; lanes stop AT the first boundary >= stop_bit.
+    (huffman.c:193-271 semantics).  The window refills either by a flat
+    gather (large chunk windows) or by the restart engine's row-select
+    chain (small windows -- ~20x cheaper per step, the production
+    shape).  The MCU counter is replaced by a local block ordinal
+    ``blk``; block starts emit boundary records into two compact
+    per-lane-indexed streams (head/tail); lanes stop AT the first
+    boundary >= stop_bit without consuming bits (io.c:247-274 ECS-end
+    analog: the boundary itself is the handoff state).
     """
-    (words_flat, chunk_of_lane, wn, nbits, stop_bit, nblk_cap,
+    (refill, nbits, stop_bit, nblk_cap, cb_bits, ov_bits,
      hv_cols, iota_hv) = consts
     (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
-     w0, w1, pend_key, pend_val) = carry
+     w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail) = carry
     T = plan.maxcode.shape[0]
     bpm = plan.blocks_per_mcu
 
@@ -92,15 +116,20 @@ def _spec_step(plan: ScanPlan, consts, carry):
         return out
 
     is_dc = coeff == 0
-    # Block start: emit the boundary record; lanes at/past their stop
-    # boundary die here WITHOUT consuming bits (io.c:247-274 ECS-end
-    # analog: the boundary itself is the handoff state).
     at_start = alive & is_dc
     stop_here = at_start & (bitpos >= stop_bit)
-    meta_val = jnp.where(
-        at_start & (blk < nblk_cap), ((bitpos << 4) | slot) + 1, 0
+    is_tail = at_start & (bitpos >= cb_bits)
+    is_head = at_start & (bitpos < ov_bits)
+    rec = ((bitpos << 4) | slot) + 1
+    rec_key = jnp.where(
+        is_tail & (tail_i < TCAP),
+        tail_i,
+        jnp.where(is_head & (head_i < HCAP), TCAP + head_i, BIGKEY),
     )
-    meta_key = jnp.where(at_start, blk, nblk_cap)
+    rec_val = rec
+    pre_tail = jnp.where(is_tail & (tail_i == 0), blk, pre_tail)
+    tail_i = tail_i + is_tail
+    head_i = head_i + is_head
 
     # ---- 32-bit window from the carried word pair ----------------------
     r = (bitpos & 31).astype(jnp.uint32)
@@ -125,11 +154,26 @@ def _spec_step(plan: ScanPlan, consts, carry):
     pref_l = code16 >> (16 - length)
     vidx = jnp.clip(base + pref_l - minc, 0, iota_hv.shape[1] - 1)
 
-    oh = (iota_hv == vidx[:, None]).astype(jnp.bfloat16)
-    picked = jnp.dot(oh, hv_cols, preferred_element_type=jnp.float32)
-    value = picked[:, 0].astype(jnp.int32)
-    for t in range(1, T):
-        value = jnp.where(tab == t, picked[:, t].astype(jnp.int32), value)
+    # value = huffval[tab, vidx] via a NIBBLE-SPLIT one-hot matmul: a
+    # full [L, 256] one-hot materializes ~10 MB/step to HBM (measured
+    # ~20 us/step, the scan's dominant term); splitting vidx into
+    # hi/lo nibbles shrinks the materialized operands 16x.  hv_cols is
+    # [16, T * hi_groups] with hv_cols[lo, t*G + hi] = huffval[t,
+    # hi*16+lo]; tmp[l, t*G+hi] = huffval[t, hi*16 + lo(l)], and the
+    # (tab, hi) select-chain finishes the pick.  bf16 holds the <=255
+    # values and the one-hot products exactly.
+    G = iota_hv.shape[1] // 16  # hi groups (padded table width / 16)
+    lo = vidx & 15
+    hi = vidx >> 4
+    lo_oh = (jax.lax.broadcasted_iota(jnp.int32, (lo.shape[0], 16), 1)
+             == lo[:, None]).astype(jnp.bfloat16)
+    tmp = jnp.dot(lo_oh, hv_cols, preferred_element_type=jnp.bfloat16)
+    value = jnp.zeros_like(vidx)
+    for t in range(T):
+        pick_t = jnp.zeros(lo.shape[0], jnp.bfloat16)
+        for g in range(G):
+            pick_t = jnp.where(hi == g, tmp[:, t * G + g], pick_t)
+        value = jnp.where(tab == t, pick_t.astype(jnp.int32), value)
 
     cat = jnp.where(is_dc, jnp.minimum(value, 16), value & 15)
     corrupt = (~any_ok) | (is_dc & (value > 16))
@@ -186,33 +230,59 @@ def _spec_step(plan: ScanPlan, consts, carry):
     bitpos = jnp.where(live, bitpos + need, bitpos)
     alive = live
 
-    # ---- window refill: gather (chunks are thousands of words wide) ----
+    # ---- window refill: at most one 32-bit boundary per symbol ---------
     widx_new = bitpos >> 5
     crossed = live & (widx_new != ((bitpos - need) >> 5))
-    fetched = _win_select(words_flat, chunk_of_lane, wn, widx_new + 1)
+    tgt = widx_new + 1
+    if refill[0] == "chain":
+        words_t = refill[1]  # [wn, L]
+        fetched = jnp.zeros_like(w1)
+        for j in range(words_t.shape[0]):
+            fetched = jnp.where(tgt == j, words_t[j], fetched)
+    else:
+        words_flat, row_of_lane, wn = refill[1:]
+        idx = row_of_lane * wn + jnp.clip(tgt, 0, wn - 1)
+        fetched = jnp.take(words_flat, idx, mode="clip")
     w0 = jnp.where(crossed, w1, w0)
     w1 = jnp.where(crossed, fetched, w1)
 
     carry = (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
-             w0, w1, pend_key, pend_val)
-    return carry, (em_key, em_val, meta_key, meta_val)
+             w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail)
+    return carry, (em_key, em_val, rec_key, rec_val)
 
 
 def _hv_consts(plan: ScanPlan):
-    vpad = ((plan.max_codes + 63) // 64) * 64
-    hv_cols = jnp.asarray(
-        plan.huffval[:, :vpad].astype(np.float32)
-    ).astype(jnp.bfloat16).T
+    """Nibble-split huffval constants: hv_cols [16, T*G] with
+    hv_cols[lo, t*G + hi] = huffval[t, hi*16 + lo] (see _spec_step)."""
+    T = plan.huffval.shape[0]
+    vpad = ((plan.max_codes + 15) // 16) * 16
+    G = vpad // 16
+    hv = plan.huffval[:, :vpad].astype(np.float32)  # [T, vpad]
+    arr = hv.reshape(T, G, 16).transpose(2, 0, 1).reshape(16, T * G)
+    hv_cols = jnp.asarray(arr).astype(jnp.bfloat16)
     iota_hv = jnp.arange(vpad, dtype=jnp.int32)[None, :]
     return hv_cols, iota_hv
 
 
-def _init_carry(plan, words_flat, chunk_of_lane, wn, start_bit, start_slot,
-                nbits):
+def _row_select(words_flat, row_of_lane, wn, tgt):
+    idx = row_of_lane * wn + jnp.clip(tgt, 0, wn - 1)
+    return jnp.take(words_flat, idx, mode="clip")
+
+
+def _init_carry(plan, refill, start_bit, start_slot, nbits):
     z = jnp.zeros_like(start_bit)
     widx = start_bit >> 5
-    w0 = _win_select(words_flat, chunk_of_lane, wn, widx)
-    w1 = _win_select(words_flat, chunk_of_lane, wn, widx + 1)
+    if refill[0] == "chain":
+        words_t = refill[1]
+        w0 = jnp.zeros(start_bit.shape, jnp.uint32)
+        w1 = jnp.zeros(start_bit.shape, jnp.uint32)
+        for j in range(words_t.shape[0]):
+            w0 = jnp.where(widx == j, words_t[j], w0)
+            w1 = jnp.where(widx + 1 == j, words_t[j], w1)
+    else:
+        words_flat, row_of_lane, wn = refill[1:]
+        w0 = _row_select(words_flat, row_of_lane, wn, widx)
+        w1 = _row_select(words_flat, row_of_lane, wn, widx + 1)
     return (
         start_bit,
         start_bit < nbits,
@@ -225,62 +295,156 @@ def _init_carry(plan, words_flat, chunk_of_lane, wn, start_bit, start_slot,
         w1,
         z,
         z,
+        z,  # tail_i
+        z,  # head_i
+        z,  # pre_tail
     )
 
 
-@partial(jax.jit, static_argnames=("plan", "max_steps", "maxb"))
-def _probe(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
-           start_slot, stop_bit, max_steps: int, maxb: int):
-    """Speculative boundary probe: no coefficients, just block-boundary
-    records per lane.  Returns (meta [L, maxb] packed (bit<<4|slot)+1 in
-    block order, alive [L] -- lanes still live at scan end mean the step
-    bound starved and the caller must retry larger)."""
-    S, wn = words.shape
-    words_flat = words.reshape(-1)
+def _refill_arg(plan, words, row_of_lane, chain: bool, reps: int = 1):
+    """words: [R, wn] window rows; lane l reads row row_of_lane[l].
+
+    ``reps`` > 1 asserts the canonical lane layout (row_of_lane =
+    repeat(arange(R), reps)), letting the per-lane matrix build as a
+    BROADCAST+reshape (a free XLA copy) instead of a [L, wn] gather
+    (~10 ns/element -- 30 ms at the 8-frame batch shape)."""
+    if chain:
+        if reps > 1:
+            R, wn = words.shape
+            wl = jnp.broadcast_to(
+                words[:, None, :], (R, reps, wn)
+            ).reshape(R * reps, wn)
+        else:
+            wl = words
+        return ("chain", wl.T)
+    return ("gather", words.reshape(-1), row_of_lane, words.shape[1])
+
+
+@partial(jax.jit, static_argnames=("plan", "max_steps", "chain", "s_rows",
+                                   "ov_bits", "cb_bits", "reps"))
+def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
+                 nbits, start_bit, start_slot, vm_in, max_steps: int,
+                 chain: bool, s_rows: int, ov_bits: int, cb_bits: int,
+                 reps: int = 1):
+    """Probe + record compaction + device link-match in ONE dispatch.
+
+    Returns (res [L, 7] int32, vm [s_rows * ov_bits]).  res columns:
+    sig+1|0 (matched sync state, (rel2<<4|slot)), m (blk ordinal of the
+    matched tail record), payload (successor head ordinal/variant/slot),
+    pre_tail (blk ordinal of tail record 0), tail0 (its packed record),
+    alive (lane starved at scan end), blk_final (total blocks decoded).
+    ``vm_in`` lets re-probe rounds extend the existing membership maps.
+    """
+    L = start_bit.shape[0]
     hv_cols, iota_hv = _hv_consts(plan)
-    consts = (words_flat, chunk_of_lane, wn, nbits, stop_bit,
-              jnp.int32(maxb), hv_cols, iota_hv)
-    init = _init_carry(plan, words_flat, chunk_of_lane, wn, start_bit,
-                       start_slot, nbits)
+    refill = _refill_arg(plan, words, row_of_lane, chain, reps=reps)
+    consts = (refill, nbits, nbits, jnp.int32(1 << 29),
+              jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
+    init = _init_carry(plan, refill, start_bit, start_slot, nbits)
 
     def step(carry, _):
-        carry, (_, _, mk, mv) = _spec_step(plan, consts, carry)
-        return carry, (mk, mv)
+        carry, (_, _, rk, rv) = _spec_step(plan, consts, carry)
+        return carry, (rk, rv)
 
-    carry, (mkey, mval) = jax.lax.scan(
+    carry, (rkey, rval) = jax.lax.scan(
         step, init, None, length=max_steps, unroll=UNROLL
     )
-    # Extract per-lane boundary lists: sort along steps so valid records
-    # (ascending blk, unique) lead; scatter would cost steps*L attempts.
-    L = start_bit.shape[0]
-    key = jnp.where(mval > 0, mkey, maxb + 1).T  # [L, steps]
-    _, sorted_val = jax.lax.sort((key, mval.T), dimension=1, num_keys=1)
-    take = min(maxb, sorted_val.shape[1])
-    meta = jnp.zeros((L, maxb), jnp.int32)
-    meta = meta.at[:, :take].set(sorted_val[:, :take])
-    counts = (meta > 0).sum(axis=1)
-    return meta, counts, carry[1]
+    blk_final = carry[2]
+    alive = carry[1]
+    pre_tail = carry[13]
+
+    # ---- compact the sparse per-step records into [L, TCAP+HCAP] -------
+    # Keys are unique per lane (tail 0..TCAP-1, head TCAP..TCAP+HCAP-1)
+    # and ascend along the step axis, so ONE sort compacts both lists
+    # with tail records leading.
+    k_t = jnp.where(rval > 0, rkey, BIGKEY).T  # [L, steps]
+    keys_s, recs_s = jax.lax.sort((k_t, rval.T), dimension=1, num_keys=1)
+    take = min(TCAP + HCAP, recs_s.shape[1])
+    recs = jnp.zeros((L, TCAP + HCAP), jnp.int32).at[:, :take].set(
+        recs_s[:, :take]
+    )
+    keys = jnp.full((L, TCAP + HCAP), BIGKEY, jnp.int32).at[:, :take].set(
+        keys_s[:, :take]
+    )
+
+    bit_f = (recs - 1) >> 4
+    slot_f = (recs - 1) & 15
+
+    # ---- membership maps: HEAD records -> vm[own_row, bit] -------------
+    is_head = (keys >= TCAP) & (keys < TCAP + HCAP)
+    head_idx = keys - TCAP  # head records are the lane's first records,
+    #                          so head ordinal == blk ordinal
+    payload = ((head_idx << 8) | (variant[:, None] << 4) | slot_f) + 1
+    own = row_of_lane[:, None] * ov_bits + jnp.clip(bit_f, 0, ov_bits - 1)
+    oob = s_rows * ov_bits
+    vm = vm_in.at[jnp.where(is_head, own, oob).reshape(-1)].max(
+        jnp.where(is_head, payload, 0).reshape(-1), mode="drop"
+    )
+
+    # ---- tail walk: first tail record present in the successor map -----
+    # Sorted keys put every tail record in the leading TCAP columns, so
+    # the walk's vm gather touches only [L, TCAP] elements.
+    kT = keys[:, :TCAP]
+    rT = recs[:, :TCAP]
+    bit_t = (rT - 1) >> 4
+    slot_t = (rT - 1) & 15
+    is_tail = kT < TCAP
+    rel2 = bit_t - cb_bits
+    ok_pos = (rel2 >= 0) & (rel2 < ov_bits)
+    look_idx = succ_row[:, None] * ov_bits + jnp.clip(rel2, 0, ov_bits - 1)
+    look = jnp.take(
+        vm, jnp.where(is_tail & ok_pos, look_idx, 0), mode="clip"
+    )
+    hit = (
+        is_tail & ok_pos & (succ_row[:, None] >= 0) & (look > 0)
+        & (((look - 1) & 15) == slot_t)
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    first = jnp.min(jnp.where(hit, col, TCAP), axis=1)
+    found = first < TCAP
+    pick = col == first[:, None]
+
+    def sel(x):
+        return jnp.where(pick & hit, x, 0).sum(axis=1)
+
+    sig = sel((rel2 << 4) | slot_t)
+    m = pre_tail + jnp.where(found, first, 0)
+    pay = sel(look - 1)
+    tail0 = jnp.where(keys[:, 0] < TCAP, recs[:, 0], 0)
+    res = jnp.stack(
+        [
+            jnp.where(found, sig + 1, 0),
+            jnp.where(found, m, 0),
+            pay,
+            pre_tail,
+            tail0,
+            alive.astype(jnp.int32),
+            blk_final,
+        ],
+        axis=1,
+    )
+    return res, vm
 
 
-@partial(jax.jit, static_argnames=("plan", "max_steps", "total_blocks"))
-def _final_decode(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
-                  start_slot, g0, nblk, max_steps: int, total_blocks: int):
-    """Authoritative re-decode: lane i emits its nblk[i] blocks; the
-    global block ordinal g0[i]+blk resolves straight to the PLANE row
-    (the decoder.c:319-358 block walk, same affine form as
-    lockstep_jax._place_emissions), so the output drops directly into
-    the concatenated-planes layout.  DC values are lane-local cumulative
-    (predictors start at 0); the caller adds the per-lane per-component
-    prefix (decoder.c:350-355 chain, prefix-summed over chunks).
-    Returns (coeffs [total_blocks, 64] in PLANE order, dc_final [C, L],
-    starved)."""
-    S, wn = words.shape
-    words_flat = words.reshape(-1)
+@partial(jax.jit, static_argnames=("plan", "max_steps", "nrows", "chain"))
+def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
+                  start_bit, start_slot, g0, nblk, max_steps: int,
+                  nrows: int, chain: bool):
+    """Authoritative re-decode: chunk row i emits its nblk[i] blocks; the
+    within-frame block ordinal g0[i]+blk resolves to the PLANE row (the
+    decoder.c:319-358 block walk, same affine form as
+    lockstep_jax._place_emissions) and frame_row_base[i] lifts it into
+    the batch's concatenated-planes buffer [nrows, 64].  DC values are
+    lane-local cumulative; the caller adds the per-lane per-component
+    prefix (decoder.c:350-355 chain).  Returns (coeffs [nrows, 64],
+    dc_final [C, R], starved)."""
+    R = words.shape[0]
     hv_cols, iota_hv = _hv_consts(plan)
-    consts = (words_flat, chunk_of_lane, wn, nbits,
-              jnp.full_like(start_bit, 1 << 30), nblk, hv_cols, iota_hv)
-    init = _init_carry(plan, words_flat, chunk_of_lane, wn, start_bit,
-                       start_slot, nbits)
+    rows = jnp.arange(R, dtype=jnp.int32)
+    refill = _refill_arg(plan, words, rows, chain)
+    consts = (refill, nbits, jnp.full_like(start_bit, 1 << 29), nblk,
+              jnp.int32(1 << 29), jnp.int32(0), hv_cols, iota_hv)
+    init = _init_carry(plan, refill, start_bit, start_slot, nbits)
 
     def step(carry, _):
         carry, (ek, ev, _, _) = _spec_step(plan, consts, carry)
@@ -321,23 +485,355 @@ def _final_decode(plan: ScanPlan, words, chunk_of_lane, nbits, start_bit,
         seq = mcu * bpm + slotc(c0 - po_t)
         row = seq + slotc(po_t)
     good = (em_key > 0) & (seq < slotc(nb_t))
-    oob = total_blocks * 64
-    flat = jnp.where(good, row * 64 + pos, oob).reshape(-1)
-    out = jnp.zeros(total_blocks * 64, jnp.int32)
+    flat = jnp.where(
+        good, (frame_row_base[None, :] + row) * 64 + pos, nrows * 64
+    ).reshape(-1)
+    out = jnp.zeros(nrows * 64, jnp.int32)
     # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
     out = out.at[flat].set(em_val.reshape(-1), mode="drop")
-    dc_final = jnp.stack(carry[5])  # [C, L]
-    # Any still-alive lane needs at least one more step to die (and
-    # flush its pending DC emission) -- retry on that, not just on
-    # unfinished spans.
+    dc_final = jnp.stack(carry[5])  # [C, R]
     starved = carry[1].any()
-    return out.reshape(total_blocks, 64), dc_final, starved
+    return out.reshape(nrows, 64), dc_final, starved
 
 
-def _unpack_meta(meta_row: np.ndarray):
-    """[(abs handled by caller)] -> (rel_bits, slots) of valid records."""
-    v = meta_row[meta_row > 0] - 1
-    return (v >> 4).astype(np.int64), (v & 15).astype(np.int64)
+@jax.jit
+def _dc_fixup(coeffs, dc_final, frame_first, lane_row, comp_row, mask_row):
+    """Add the cross-chunk DC prefix to each decoded block's DC slot.
+
+    ``frame_first[r]`` = the first chunk-row index of r's frame, so the
+    exclusive prefix of dc_final resets at frame boundaries (batched
+    Motion-JPEG form)."""
+    csum = jnp.cumsum(dc_final, axis=1)
+    base_g = csum - dc_final  # [C, R] exclusive global
+    base0 = jnp.take_along_axis(
+        base_g, jnp.broadcast_to(frame_first[None, :], base_g.shape), axis=1
+    )
+    dc_base = base_g - base0  # per-frame exclusive prefix
+    R = dc_final.shape[1]
+    fix = jnp.take(
+        dc_base.reshape(-1), comp_row * R + lane_row, mode="clip"
+    ) * mask_row
+    return coeffs.at[:, 0].add(fix)
+
+
+def _fallback(why: str = ""):
+    # Silent de-parallelization must be observable: count every fallback
+    # (with its reason) in the default metrics so `-v` / metrics output
+    # reveals a stream that quietly went serial.
+    from ..utils.metrics import default_metrics
+
+    default_metrics.count("speculative.fallbacks")
+    default_metrics.count(
+        f"speculative.fallback[{why.split(':')[0] or 'unknown'}]"
+    )
+    if os.environ.get("JPEG_TPU_SPEC_DEBUG"):
+        print(f"[speculative] fallback: {why}", flush=True)
+    return None
+
+
+def _cached_plan_of(geom, info, tables):
+    from .lockstep_jax import _cached_plan
+
+    return _cached_plan(
+        geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
+    )
+
+
+def _speculative_core_batch(
+    geom: FrameGeometry,
+    info: ScanInfo,
+    tables: Dict[Tuple[int, int], HuffTable],
+    segments: List[np.ndarray],  # one unstuffed RST-less ECS per frame
+    lanes: int = 512,
+    max_rounds: Optional[int] = None,
+):
+    """Probe + match + resolve + final decode of F same-geometry frames.
+
+    Returns (coeffs [F * total_blocks, 64] DEVICE-resident, plane order,
+    DC fixed up, n_use list) -- or None when the batch defeats
+    resolution (caller falls back per frame).
+    """
+    plan = _cached_plan_of(geom, info, tables)
+    bpm = plan.blocks_per_mcu
+    total_blocks = sum(
+        geom.by_id(cid).n_blocks for cid in info.component_ids
+    )
+    F = len(segments)
+    segs = [np.asarray(s, np.uint8) for s in segments]
+    sizes = [int(s.size) for s in segs]
+    if F == 0 or bpm > 16 or min(sizes) < 2048:
+        return _fallback(
+            f"too small / bpm: n={min(sizes or [0])} bpm={bpm}"
+        )
+
+    # Chunking: pow2 chunk bytes, >= 512 (small chunks keep the probe's
+    # step count low and its refill on the cheap select-chain path);
+    # ``lanes`` caps the per-frame chunk count.
+    n_max = max(sizes)
+    cb = 1 << max(9, (-(-n_max // max(4, lanes)) - 1).bit_length())
+    ov = 256 if cb >= 1024 else 128  # sync-strip bytes (overlap)
+    win = cb + ov
+    wn = (win + 8 + 3) // 4 + 2
+    chain = wn <= CHAIN_WN_MAX
+    cb_bits, ov_bits = cb * 8, ov * 8
+
+    # Per-frame chunk rows; all frames concatenate into one row table.
+    # Windows overlap by ``ov`` bytes, so each frame's matrix is ONE
+    # strided view copy of its zero-padded segment (no per-chunk loop).
+    # The row count pads to 64-row buckets (dead rows: win_bits=0, no
+    # frame) so different streams share compiled programs -- every
+    # distinct (rows, steps) shape costs a full XLA compile.
+    S_f = [max(1, -(-n // cb)) for n in sizes]
+    row_base = np.concatenate(([0], np.cumsum(S_f))).astype(np.int64)
+    R_real = int(row_base[-1])
+    R = -(-R_real // 64) * 64
+    wmat = np.zeros((R, wn * 4), dtype=np.uint8)
+    win_bits = np.zeros(R, np.int64)
+    for f in range(F):
+        n, S = sizes[f], S_f[f]
+        pad = np.zeros((S - 1) * cb + win, np.uint8)
+        pad[:n] = segs[f]
+        view = np.lib.stride_tricks.sliding_window_view(pad, win)[::cb]
+        r0 = int(row_base[f])
+        wmat[r0 : r0 + S, :win] = view[:S]
+        lo = np.arange(S, dtype=np.int64) * cb
+        win_bits[r0 : r0 + S] = (np.minimum(lo + win, n) - lo) * 8
+    words = (
+        wmat.reshape(R, wn, 4).astype(np.uint32)
+        << np.array([24, 16, 8, 0])
+    ).sum(axis=2).astype(np.uint32)
+
+    # Lanes: bpm phase variants per chunk row.
+    L = R * bpm
+    row_of_lane = np.repeat(np.arange(R, dtype=np.int32), bpm)
+    variant = np.tile(np.arange(bpm, dtype=np.int32), R)
+    succ = row_of_lane + 1  # successor row; -1 for each frame's last
+    succ[np.isin(row_of_lane, row_base[1:] - 1)] = -1
+    succ[row_of_lane >= R_real] = -1  # shape-padding rows
+    nbits_l = win_bits[row_of_lane].astype(np.int32)
+
+    # A variant lane decodes a junk prefix (~3.5 bits/symbol) until it
+    # converges inside the sync strip, then true content (~4.5+ -- be
+    # conservative: an extra ~15% of steps is far cheaper than a whole
+    # re-dispatch).  The bound must cover BOTH so the authoritative lane
+    # finishes its window on the first probe; the hard retry covers
+    # dense content.
+    steps = (ov_bits // 3 + win * 8 * 2 // 9 + 64 + 63) // 64 * 64
+    hard_steps = (win * 8 // 3 + ov_bits // 3 + 96 + 63) // 64 * 64
+
+    jwords = jnp.asarray(words)
+    jrow = jnp.asarray(row_of_lane)
+    jsucc = jnp.asarray(succ)
+    jvar = jnp.asarray(variant)
+
+    def probe(sbit, sslot, nb, vm, st):
+        return _probe_match(
+            plan, jwords, jrow, jsucc, jvar,
+            jnp.asarray(nb, dtype=jnp.int32),
+            jnp.asarray(sbit, dtype=jnp.int32),
+            jnp.asarray(sslot, dtype=jnp.int32), vm, st, chain, R,
+            ov_bits, cb_bits, reps=bpm,
+        )
+
+    from ..utils.metrics import default_metrics
+
+    start_bit0 = np.zeros(L, np.int32)
+    rounds = max_rounds or max(12, R // 2)
+
+    for attempt in range(2):  # step-bound ladder for starved true lanes
+        default_metrics.count("speculative.probe_dispatches")
+        if attempt:
+            default_metrics.count("speculative.hard_retries")
+        vm = jnp.zeros(R * ov_bits, jnp.int32)
+        res_d, vm = probe(start_bit0, variant, nbits_l, vm, steps)
+        res_h = np.asarray(res_d)  # [L, 7] -- the ONLY bulk download
+
+        out = _resolve(
+            res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
+            rounds, probe, vm, steps, L, R_real,
+        )
+        if out == "starved" and steps < hard_steps:
+            steps = hard_steps
+            continue
+        break
+    if isinstance(out, str):
+        return _fallback(out)
+    v_of, k_of, f_start, f_slot, nblk = out
+
+    # ---- final authoritative decode (all frames, one dispatch) ---------
+    g0_within = np.zeros(R, np.int64)
+    n_use = []
+    for f in range(F):
+        r0, r1 = int(row_base[f]), int(row_base[f + 1])
+        c = np.cumsum(nblk[r0:r1]) - nblk[r0:r1]
+        g0_within[r0:r1] = c
+        n_use.append(int(min(c[-1] + nblk[r1 - 1], total_blocks)))
+    frame_row_base = np.zeros(R, np.int64)
+    frame_row_base[:R_real] = np.repeat(
+        np.arange(F, dtype=np.int64) * total_blocks,
+        np.diff(row_base).astype(np.int64),
+    )
+    nrows = F * total_blocks
+
+    # A span runs from sigma_r (within the first ov bytes of chunk r) to
+    # sigma_{r+1} -- up to the FULL window, not just cb bytes.
+    fsteps = int(win * 8 * 2 // 9 + 96 + 63) // 64 * 64
+    fhard = int(win * 8 + 66 + 63) // 64 * 64
+    while True:
+        coeffs, dc_final, fstarved = _final_decode(
+            plan, jwords,
+            jnp.asarray(frame_row_base.astype(np.int32)),
+            jnp.asarray(win_bits.astype(np.int32)),
+            jnp.asarray(f_start.astype(np.int32)),
+            jnp.asarray(f_slot.astype(np.int32)),
+            jnp.asarray(g0_within.astype(np.int32)),
+            jnp.asarray(nblk.astype(np.int32)), fsteps, nrows, chain,
+        )
+        if not bool(np.asarray(fstarved)) or fsteps >= fhard:
+            break
+        fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+
+    # ---- DC prefix over chunk rows (device, per frame) -----------------
+    lane_row = np.zeros(nrows, np.int32)
+    comp_row = np.zeros(nrows, np.int32)
+    mask_row = np.zeros(nrows, np.int32)
+    for f in range(F):
+        r0, r1 = int(row_base[f]), int(row_base[f + 1])
+        nu = n_use[f]
+        gi = np.arange(nu)
+        row_of = np.searchsorted(np.cumsum(nblk[r0:r1]), gi, side="right")
+        mcu = gi // bpm
+        slot = gi % bpm
+        comp = plan.slot_comp[slot]
+        if plan.interleaved:
+            my = mcu // plan.m_x
+            mx = mcu % plan.m_x
+            seq = (
+                (my * plan.slot_V[slot] + plan.slot_v[slot])
+                * plan.slot_bx[slot]
+                + mx * plan.slot_H[slot]
+                + plan.slot_h[slot]
+            )
+        else:
+            seq = mcu * bpm + plan.slot_h[slot]
+        ok = seq < plan.slot_nblocks[slot]
+        rows = f * total_blocks + plan.slot_plane_offset[slot] + seq
+        lane_row[rows[ok]] = r0 + row_of[ok]
+        comp_row[rows[ok]] = comp[ok]
+        mask_row[rows[ok]] = 1
+    frame_first = np.zeros(R, np.int32)
+    frame_first[:R_real] = np.repeat(
+        row_base[:-1], np.diff(row_base).astype(np.int64)
+    ).astype(np.int32)
+    coeffs = _dc_fixup(
+        coeffs, dc_final, jnp.asarray(frame_first),
+        jnp.asarray(lane_row), jnp.asarray(comp_row),
+        jnp.asarray(mask_row),
+    )
+    return coeffs, n_use
+
+
+def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
+             rounds, probe, vm, steps, L, R_real=None):
+    """Host authority chain over the device link results.
+
+    Returns (v_of, k_of, f_start, f_slot, nblk) on success, or a string
+    reason for fallback ("starved" asks the caller to retry the whole
+    probe at the hard step bound).  Rows past ``R_real`` are shape
+    padding (no frame, zero window): excluded from the convergence
+    check, zero blocks in the final decode."""
+    if R_real is None:
+        R_real = R
+    v_of = np.full(R, -1, np.int64)  # authoritative variant (bpm = reprobe)
+    k_of = np.zeros(R, np.int64)  # blk ordinal of the row's sync record
+    f_start = np.zeros(R, np.int64)
+    f_slot = np.zeros(R, np.int64)
+    nblk = np.full(R, -1, np.int64)
+    v_of[R_real:] = bpm  # padding rows: trivially resolved, no blocks
+    nblk[R_real:] = 0
+    for f in range(F):
+        v_of[row_base[f]] = 0  # chunk 0 starts at the true origin
+
+    lane_res = res_h.copy()
+
+    def lane_of(r):
+        return r * bpm + (int(v_of[r]) if v_of[r] < bpm else 0)
+
+    for rnd in range(rounds):
+        failed: Dict[int, Tuple[int, int]] = {}
+        for f in range(F):
+            r0, r1 = int(row_base[f]), int(row_base[f + 1])
+            r = r0
+            while r < r1 - 1:
+                if v_of[r] < 0:
+                    break
+                if v_of[r + 1] >= 0:
+                    r += 1
+                    continue
+                ln = lane_of(r)
+                if lane_res[ln, R_ALIVE]:
+                    # the authoritative lane starved: its records are
+                    # incomplete -- retry the whole probe bigger
+                    return "starved"
+                sigp = int(lane_res[ln, R_SIG])
+                if sigp > 0:
+                    nblk[r] = int(lane_res[ln, R_M]) - k_of[r]
+                    f_start[r + 1] = (sigp - 1) >> 4
+                    f_slot[r + 1] = (sigp - 1) & 15
+                    pay = int(lane_res[ln, R_PAY])
+                    k_of[r + 1] = pay >> 8
+                    v_of[r + 1] = (pay >> 4) & 15
+                    r += 1
+                    continue
+                # Link miss: hand off at the earliest authoritative
+                # boundary inside chunk r+1 (tail record 0) and
+                # re-probe r+1 from that true state.
+                t0 = int(lane_res[ln, R_TAIL0])
+                if t0 <= 0:
+                    return f"no tail boundary at row {r}"
+                rel2 = ((t0 - 1) >> 4) - cb_bits
+                if rel2 < 0 or rel2 >= int(win_bits[r + 1]):
+                    return f"handoff out of window at row {r}"
+                nblk[r] = int(lane_res[ln, R_PRET]) - k_of[r]
+                f_start[r + 1] = rel2
+                f_slot[r + 1] = (t0 - 1) & 15
+                k_of[r + 1] = 0
+                v_of[r + 1] = bpm  # sentinel: authority via reprobe lane
+                failed[r + 1] = (rel2, (t0 - 1) & 15)
+                break
+            # last chunk of the frame: span to stream end
+            if v_of[r1 - 1] >= 0 and nblk[r1 - 1] < 0 and (
+                (r1 - 1) not in failed
+            ):
+                ln = lane_of(r1 - 1)
+                if lane_res[ln, R_ALIVE]:
+                    return "starved"
+                nblk[r1 - 1] = int(lane_res[ln, R_BLK]) - k_of[r1 - 1]
+        if (v_of >= 0).all() and (nblk >= 0).all():
+            return v_of, k_of, f_start, f_slot, nblk
+        if not failed:
+            if (v_of >= 0).all():
+                continue
+            return f"round {rnd}: no progress"
+        # Batched re-probe of all failed rows from their true states
+        # (variant slot 0), against the SAME device maps.
+        from ..utils.metrics import default_metrics
+
+        default_metrics.count("speculative.reprobe_rounds")
+        default_metrics.count("speculative.link_misses", len(failed))
+        sbit = np.zeros(L, np.int32)
+        sslot = np.zeros(L, np.int32)
+        nb = np.zeros(L, np.int32)
+        for row, (rel2, slot0) in failed.items():
+            ln = row * bpm
+            sbit[ln] = rel2
+            sslot[ln] = slot0
+            nb[ln] = int(win_bits[row])
+        res2_d, vm = probe(sbit, sslot, nb, vm, steps)
+        res2_h = np.asarray(res2_d)
+        for row in failed:
+            lane_res[row * bpm] = res2_h[row * bpm]
+    return "unresolved after rounds"
 
 
 def _speculative_core(
@@ -345,287 +841,21 @@ def _speculative_core(
     info: ScanInfo,
     tables: Dict[Tuple[int, int], HuffTable],
     segment: np.ndarray,  # one unstuffed ECS (uint8)
-    lanes: int = 128,
-    max_rounds: int = 12,
+    lanes: int = 1024,
+    max_rounds: Optional[int] = None,
 ):
-    """Probe + resolve + final decode of one RST-less ECS.
+    """Single-frame wrapper over the batched core.
 
-    Returns (coeffs [total_blocks, 64] DEVICE-resident, plane order,
-    DC already fixed up, n_use) -- or None when the stream defeats
-    resolution (caller falls back to the serial oracle).
+    Returns (coeffs [total_blocks, 64] DEVICE-resident, n_use) or None.
     """
-    from .lockstep_jax import _cached_plan
-
-    plan = _cached_plan(
-        geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
+    res = _speculative_core_batch(
+        geom, info, tables, [np.asarray(segment, np.uint8)], lanes=lanes,
+        max_rounds=max_rounds,
     )
-    bpm = plan.blocks_per_mcu
-    n = int(segment.size)
-    total_blocks = sum(
-        geom.by_id(cid).n_blocks for cid in info.component_ids
-    )
-
-    def fallback(why=""):
-        # Silent de-parallelization must be observable: count every
-        # fallback (with its reason) in the default metrics so `-v` /
-        # metrics output reveals a stream that quietly went serial.
-        from ..utils.metrics import default_metrics
-
-        default_metrics.count("speculative.fallbacks")
-        default_metrics.count(
-            f"speculative.fallback[{why.split(':')[0] or 'unknown'}]"
-        )
-        if os.environ.get("JPEG_TPU_SPEC_DEBUG"):
-            print(f"[speculative] fallback: {why}", flush=True)
+    if res is None:
         return None
-
-    # Chunking: >=1 KiB per chunk so probe step counts stay bounded.
-    # The chunk size is quantized to powers of two so the jitted probe /
-    # final-decode shapes recur across streams (jit cache reuse).
-    S = int(min(lanes, max(1, n // 1024)))
-    if S < 4 or bpm > 16:
-        return fallback(f"too small / bpm: S={S} bpm={bpm}")
-    cb = 1 << (-(-n // S) - 1).bit_length()  # pow2 chunk bytes
-    S = -(-n // cb)
-    # Quantize the lane count too (pad chunks are empty: nbits=0 decodes
-    # nothing) -- together with the pow2 chunk size, probe/final shapes
-    # take few distinct values across real streams.
-    S_pad = -(-S // 8) * 8
-
-    # Windows: chunk i plus its successor, padded to a common word width.
-    win_bytes = min(2 * cb, n)  # lane S-1 simply has fewer bits
-    wn = (win_bytes + 8 + 3) // 4 + 2
-    wmat = np.zeros((S_pad, wn * 4), dtype=np.uint8)
-    starts = np.arange(S_pad) * cb
-    for i in range(S):
-        lo = i * cb
-        hi = min(lo + 2 * cb, n)
-        wmat[i, : hi - lo] = segment[lo:hi]
-    words = (
-        wmat.reshape(S_pad, wn, 4).astype(np.uint32)
-        << np.array([24, 16, 8, 0])
-    ).sum(axis=2).astype(np.uint32)
-    win_bits = np.maximum(np.minimum(starts + 2 * cb, n) * 8 - starts * 8, 0)
-
-    # Probe round 0: bpm phase variants per chunk (padded chunks are
-    # dead lanes: win_bits=0).
-    L = S_pad * bpm
-    chunk_of_lane = np.repeat(np.arange(S_pad, dtype=np.int32), bpm)
-    start_slot = np.tile(np.arange(bpm, dtype=np.int32), S_pad)
-    start_bit = np.zeros(L, np.int32)
-    nbits_l = win_bits[chunk_of_lane].astype(np.int32)
-    # Lanes decode their FULL 2-chunk window: the overlap into the next
-    # chunk is where the authoritative track meets the successor's
-    # speculative track (sync needs tens of symbols of common ground --
-    # the first boundary past the chunk edge is NOT enough).
-    stop_l = nbits_l
-    # Block-boundary capacity: photographic content averages ~30+ bits
-    # per block; start tight (the meta download rides the host link) and
-    # grow on saturation (a lane whose record count hits maxb may have
-    # dropped boundaries).  Step bound likewise starts at the measured
-    # ~6 bits/symbol average and grows on starvation.
-    maxb = int(min(2 * total_blocks + 4, win_bits.max() // 20 + 32))
-    max_steps = int(win_bits.max() // 6 + 64)
-    hard_steps = int(win_bits.max() + 2)
-    maxb_hard = int(min(2 * total_blocks + 4, win_bits.max() // 4 + 8))
-
-    jw = jnp.asarray(words)
-    jcl = jnp.asarray(chunk_of_lane)
-
-    def run_probe(sbit, sslot, nb, stop, steps, retries=2):
-        # Only tiny (counts, alive) vectors come back per attempt; the
-        # meta matrix downloads ONCE, sliced to the live column count
-        # (this path rides the host link).  Junk phase variants can stay
-        # starved forever, so retries are capped -- a starved TRUE lane
-        # surfaces as a failed link and the reprobe machinery covers it.
-        nonlocal maxb
-        while True:
-            meta, counts, alive = _probe(
-                plan, jw, jcl, jnp.asarray(nb), jnp.asarray(sbit),
-                jnp.asarray(sslot), jnp.asarray(stop), steps, maxb,
-            )
-            counts_h = np.asarray(counts)
-            saturated = bool((counts_h >= maxb).any())
-            if saturated and maxb < maxb_hard:
-                maxb = min(maxb_hard, maxb * 2)
-                continue
-            starved = bool(np.asarray(alive).any())
-            if not starved or retries <= 0 or steps >= hard_steps:
-                cmax = max(1, int(counts_h.max()))
-                return np.asarray(meta[:, :cmax])
-            retries -= 1
-            steps = min(hard_steps, steps * 3 // 2)
-
-    meta0 = run_probe(start_bit, start_slot, nbits_l, stop_l, max_steps)
-
-    # ---- resolution (host; data is [S*bpm, maxb] i32) ------------------
-    # Authoritative per chunk i: its boundary list from its sync point
-    # through its window (chunks i and i+1).  A link to chunk i+1 holds
-    # at the EARLIEST state (bit, slot) that chunk i's authoritative
-    # overlap and ANY phase variant of chunk i+1 both visited -- from a
-    # common state the decodes are identical (same bits, same tables),
-    # so everything after is authoritative.
-    auth_pack = [None] * S  # packed (bit<<4 | slot), ascending
-    auth_sync = [0] * S  # index of the chunk's sync boundary in its list
-    chunk_start_abs = starts * 8
-
-    def packed_of(meta_row, chunk):
-        v = meta_row[meta_row > 0].astype(np.int64) - 1
-        return v + (chunk_start_abs[chunk] << 4)
-
-    p0 = packed_of(meta0[0], 0)
-    if p0.size == 0 or p0[0] != 0:
-        return fallback(f"lane0 start: {p0[:1]}")
-    auth_pack[0] = p0
-
-    reprobe_meta: Dict[int, np.ndarray] = {}
-    reprobe_from: Dict[int, int] = {}  # chunk -> packed start state
-
-    for rnd in range(max_rounds):
-        progressed = False
-        failed: list = []
-        i = 0
-        while i < S - 1:
-            if auth_pack[i] is None:
-                break
-            if auth_pack[i + 1] is not None:
-                i += 1
-                continue
-            nxt_start = chunk_start_abs[i + 1] << 4
-            tail = auth_pack[i][auth_pack[i] >= nxt_start]
-            if tail.size == 0:
-                return fallback(
-                    f"chunk {i} has no boundaries past the chunk edge "
-                    f"(n={auth_pack[i].size})"
-                )
-            best = None
-            best_src = None
-            for variant in range(bpm):
-                vp = packed_of(meta0[(i + 1) * bpm + variant], i + 1)
-                common = np.intersect1d(tail, vp, assume_unique=False)
-                if common.size and (best is None or common[0] < best):
-                    best = int(common[0])
-                    best_src = vp
-            if (i + 1) in reprobe_meta:
-                rp = packed_of(reprobe_meta[i + 1], i + 1)
-                if rp.size and int(rp[0]) == reprobe_from[i + 1] and (
-                    best is None or rp[0] <= best
-                ):
-                    best = int(rp[0])
-                    best_src = rp
-            if best is None:
-                failed.append((i + 1, int(tail[0])))
-                break
-            # Truncate chunk i's span at the handoff, adopt chunk i+1.
-            auth_pack[i] = auth_pack[i][auth_pack[i] < best]
-            k = int(np.searchsorted(best_src, best))
-            auth_pack[i + 1] = best_src[k:]
-            progressed = True
-            i += 1
-        if all(ap is not None for ap in auth_pack):
-            break
-        if not failed:
-            if not progressed:
-                return fallback(f"round {rnd}: no progress, none failed")
-            continue
-        # Batched re-probe of failed links from their true states (the
-        # earliest boundary of the predecessor inside the failed chunk).
-        sbit = start_bit.copy()
-        sslot = start_slot.copy()
-        nb = np.zeros(L, np.int32)  # all lanes dead by default
-        for (ch, hand) in failed:
-            lane = ch * bpm  # reuse the phase-0 lane slot for chunk ch
-            rel = (hand >> 4) - chunk_start_abs[ch]
-            if rel < 0 or rel >= int(win_bits[ch]):
-                return fallback(
-                    f"handoff out of window: chunk {ch} rel={rel}"
-                )
-            sbit[lane] = rel
-            sslot[lane] = hand & 15
-            nb[lane] = win_bits[ch]
-        meta_r = run_probe(sbit, sslot, nb, nb, max_steps)
-        for (ch, hand) in failed:
-            reprobe_meta[ch] = meta_r[ch * bpm]
-            reprobe_from[ch] = hand
-    if any(ap is None for ap in auth_pack):
-        unresolved = [i for i, ap in enumerate(auth_pack) if ap is None]
-        return fallback(
-            f"unresolved after {max_rounds} rounds: {unresolved[:6]}..."
-        )
-
-    # ---- final authoritative decode ------------------------------------
-    # Chunk i's span was truncated at the next chunk's handoff during
-    # resolution, so its block count is just its list length.  Junk
-    # trailing blocks (padding bits decoding as symbols) are capped at
-    # the geometry's expected count later (decoder.c:339-347 NULL
-    # blocks).
-    nblk = np.zeros(S_pad, np.int64)
-    f_start = np.zeros(S_pad, np.int32)
-    f_slot = np.zeros(S_pad, np.int32)
-    for i in range(S):
-        nblk[i] = auth_pack[i].size
-        f_start[i] = (auth_pack[i][0] >> 4) - chunk_start_abs[i]
-        f_slot[i] = auth_pack[i][0] & 15
-    g0 = np.cumsum(nblk) - nblk
-    total_avail = int(g0[-1] + nblk[-1])
-    f_nbits = win_bits.astype(np.int32)
-    # A final lane decodes only its authoritative span (~one chunk of
-    # symbols); starvation retries cover outliers.
-    steps = int(cb * 8 // 5 + 96)
-    while True:
-        coeffs, dc_final, starved = _final_decode(
-            plan, jw, jnp.asarray(np.arange(S_pad, dtype=np.int32)),
-            jnp.asarray(f_nbits), jnp.asarray(f_start),
-            jnp.asarray(f_slot), jnp.asarray(g0.astype(np.int32)),
-            jnp.asarray(nblk.astype(np.int32)), steps, total_blocks,
-        )
-        if not bool(np.asarray(starved)) or steps >= hard_steps:
-            break
-        steps = min(hard_steps, steps * 3 // 2)
-    # ---- DC prefix over chunks (fixup ON DEVICE, plane coords) ---------
-    # Per-plane-row (lane, component) maps are tiny host arrays; the
-    # cumulative-base gather + column add run on the device so the
-    # coefficients never need to leave HBM (decode_frame_rstless).
-    n_use = min(total_avail, total_blocks)
-    gi = np.arange(n_use)
-    lane_of = np.searchsorted(g0, gi, side="right") - 1
-    mcu = gi // bpm
-    slot = gi % bpm
-    comp = plan.slot_comp[slot]
-    if plan.interleaved:
-        my = mcu // plan.m_x
-        mx = mcu % plan.m_x
-        seq = (
-            (my * plan.slot_V[slot] + plan.slot_v[slot]) * plan.slot_bx[slot]
-            + mx * plan.slot_H[slot]
-            + plan.slot_h[slot]
-        )
-    else:
-        seq = mcu * bpm + plan.slot_h[slot]
-    ok = seq < plan.slot_nblocks[slot]
-    rows = plan.slot_plane_offset[slot] + seq
-    lane_row = np.zeros(total_blocks, np.int32)
-    comp_row = np.zeros(total_blocks, np.int32)
-    mask_row = np.zeros(total_blocks, np.int32)
-    lane_row[rows[ok]] = lane_of[ok]
-    comp_row[rows[ok]] = comp[ok]
-    mask_row[rows[ok]] = 1
-    coeffs = _dc_fixup(
-        coeffs, dc_final, jnp.asarray(lane_row), jnp.asarray(comp_row),
-        jnp.asarray(mask_row),
-    )
-    return coeffs, n_use
-
-
-@jax.jit
-def _dc_fixup(coeffs, dc_final, lane_row, comp_row, mask_row):
-    """Add the cross-chunk DC prefix to each decoded block's DC slot."""
-    dc_base = jnp.cumsum(dc_final, axis=1) - dc_final  # [C, L] exclusive
-    L = dc_final.shape[1]
-    fix = jnp.take(
-        dc_base.reshape(-1), comp_row * L + lane_row, mode="clip"
-    ) * mask_row
-    return coeffs.at[:, 0].add(fix)
+    coeffs, n_use = res
+    return coeffs, n_use[0]
 
 
 def decode_scan_speculative_jax(
@@ -634,8 +864,8 @@ def decode_scan_speculative_jax(
     tables: Dict[Tuple[int, int], HuffTable],
     segment: np.ndarray,  # one unstuffed ECS (uint8)
     planes: Dict[int, np.ndarray],
-    lanes: int = 128,
-    max_rounds: int = 12,
+    lanes: int = 1024,
+    max_rounds: Optional[int] = None,
 ) -> int:
     """Decode one RST-less ECS on up to ``lanes`` speculative chunks.
 
@@ -656,11 +886,7 @@ def decode_scan_speculative_jax(
         nb_c = geom.by_id(cid).n_blocks
         planes[cid][:] = c[off : off + nb_c]
         off += nb_c
-    from .lockstep_jax import _cached_plan
-
-    plan = _cached_plan(
-        geom, info, tuple(sorted((k, t.spec) for k, t in tables.items()))
-    )
+    plan = _cached_plan_of(geom, info, tables)
     return n_use // plan.blocks_per_mcu
 
 
@@ -670,7 +896,7 @@ def decode_scan_speculative(
     tables: Dict[Tuple[int, int], HuffTable],
     segments,
     planes: Dict[int, np.ndarray],
-    lanes: int = 128,
+    lanes: int = 1024,
     ri: int = 0,
 ) -> int:
     """Scan-level wrapper: speculative decode for RST-less scans.

@@ -111,12 +111,19 @@ def decode_stream_device(data: bytes, chunk: int = 8):
     dec = DeviceDecoder.for_stream(parts[0])
     if dec.segs_per_frame <= 1 and len(parts[0]) > 8192:
         # RST-less frames have no restart lanes -- the batch engine would
-        # degenerate to one lane per frame.  Decode each frame with the
-        # speculative chunked engine instead (pixels stay in HBM).
+        # degenerate to one lane per frame.  All frames' speculative
+        # chunks batch into ONE probe/resolve/final round instead
+        # (pixels stay in HBM); anything unresolvable degrades to
+        # per-frame, then host, decodes.
         import jax.numpy as jnp
 
         from .errors import JpegError
+        from .models.device_decode import decode_stream_rstless
 
+        try:
+            return decode_stream_rstless(parts)
+        except JpegError:
+            pass
         frames_px = []
         for p in parts:
             try:

@@ -29,6 +29,9 @@ from ..entropy.lockstep_jax import (
     _cached_plan,
     _grow_steps,
     _max_steps_for,
+    _place_emissions,
+    _scan_lanes,
+    _scan_lanes_phased,
     pack_words,
     decode_scan_device,
 )
@@ -130,6 +133,55 @@ def _decode_device(plan, geom, words, nbits, qtables, max_steps, frames,
 
 @partial(
     jax.jit,
+    static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame"),
+)
+def _decode_device_learn(plan, geom, words, nbits, qtables, max_steps,
+                         frames, segs_per_frame):
+    """Classic single-phase decode that ALSO returns per-lane consumed
+    steps -- the one-off learning pass feeding the phased scan's sorted
+    lane order and step budget."""
+    total_blocks = sum(c.n_blocks for c in geom.components)
+    spf = segs_per_frame or words.shape[0]
+    counts, stream, starved, nsteps = _scan_lanes(
+        plan, words, nbits, max_steps
+    )
+    coeffs = _place_emissions(
+        plan, counts, [stream], frames, spf, total_blocks
+    )
+    px = _dense_from_coeffs(
+        coeffs.reshape(frames, total_blocks, 64), geom, qtables
+    )
+    return px, starved, counts.sum(), nsteps
+
+
+@partial(
+    jax.jit,
+    static_argnames=("plan", "geom", "phases", "frames", "segs_per_frame"),
+)
+def _decode_device_phased(plan, geom, words, nbits, qtables, perm, phases,
+                          frames, segs_per_frame):
+    """Phased narrowed decode: lanes arrive SORTED (rows written in
+    predicted-step order by the native prep); each phase continues only
+    the predicted-long prefix, so the placement scatter's attempts track
+    the true symbol count instead of lanes x global-max-steps (the
+    round-2 roofline's dominant term).  ``perm`` maps sorted lane ->
+    original (frame-major) lane for placement."""
+    total_blocks = sum(c.n_blocks for c in geom.components)
+    counts, streams, starved, _ = _scan_lanes_phased(
+        plan, words, nbits, phases
+    )
+    coeffs = _place_emissions(
+        plan, counts, streams, frames, segs_per_frame, total_blocks,
+        perm=perm, combine="set",
+    )
+    px = _dense_from_coeffs(
+        coeffs.reshape(frames, total_blocks, 64), geom, qtables
+    )
+    return px, starved, counts.sum()
+
+
+@partial(
+    jax.jit,
     static_argnames=("plan", "geom", "max_steps", "frames", "segs_per_frame",
                      "wn"),
 )
@@ -177,6 +229,13 @@ class DeviceDecoder:
     # pipelined chunk loop hides); "flat" tight-packs and gathers
     # on-device.  JPEG_TPU_PREP overrides for A/B.
     prep_mode: str = "rows"
+    # Learned per-segment step bounds (from one classic chunk's per-lane
+    # consumed-step counters): subsequent chunks write lane rows in
+    # DESCENDING predicted order and run the phased narrowed scan, so
+    # placement-scatter attempts track the true symbol count instead of
+    # lanes x global max steps.  JPEG_TPU_PHASED=0 disables for A/B.
+    lane_steps: Optional[np.ndarray] = None  # [spf] predicted steps
+    sort_order: Optional[np.ndarray] = None  # [spf] seg ids, desc pred
 
     @staticmethod
     def for_stream(sample_jpeg: bytes) -> "DeviceDecoder":
@@ -265,15 +324,35 @@ class DeviceDecoder:
                              spf: int):
         """Padded-matrix native prep: one C++ pass per frame writes each
         unstuffed segment straight into its lane row -- the upload IS the
-        lane matrix and the device spends nothing rebuilding it."""
+        lane matrix and the device spends nothing rebuilding it.
+
+        With learned step bounds, rows are written in DESCENDING
+        predicted-step order (rank-major, frames interleaved within a
+        rank) and the chunk decodes on the phased narrowed scan."""
+        import os as _os
+
         from .. import native
 
+        sort = (
+            self.sort_order
+            if self.sort_order is not None
+            and _os.environ.get("JPEG_TPU_PHASED", "1") != "0"
+            else None
+        )
+        if sort is not None:
+            rank_of = np.empty(spf, np.int64)
+            rank_of[sort] = np.arange(spf)
         for _ in range(3):  # wn growth retries
             rows = np.zeros((frames * spf, self.wn), np.uint32)
             lens = np.zeros(frames * spf, np.int32)
             ok = True
             for f, data in enumerate(jpegs):
-                row_map = np.arange(f * spf, (f + 1) * spf, dtype=np.int32)
+                if sort is None:
+                    row_map = np.arange(
+                        f * spf, (f + 1) * spf, dtype=np.int32
+                    )
+                else:
+                    row_map = (rank_of * frames + f).astype(np.int32)
                 rc = native.prep_ecs_rows_native(
                     data, self.scan_start, rows, row_map,
                     lens[f * spf : (f + 1) * spf],
@@ -287,7 +366,18 @@ class DeviceDecoder:
                 if rc != spf:
                     return None  # malformed framing: Python parser path
             if ok:
-                return ("mat", rows, None, lens * 8, self.qtables)
+                if sort is None:
+                    return ("mat", rows, None, lens * 8, self.qtables)
+                # nbits in row (rank-major) order; perm: sorted lane ->
+                # original frame-major lane for placement
+                nbits = (lens.reshape(frames, spf)[:, sort].T * 8).reshape(
+                    -1
+                ).astype(np.int32)
+                perm = (
+                    (np.arange(frames * spf) % frames) * spf
+                    + sort[np.arange(frames * spf) // frames]
+                ).astype(np.int32)
+                return ("mats", rows, perm, nbits, self.qtables)
         return None
 
     def prepare(self, jpegs: Sequence[bytes]):
@@ -328,16 +418,31 @@ class DeviceDecoder:
         )
         return ("mat", words, None, nbits.astype(np.int32), qts)
 
-    def _decode_prepared(self, prepared, frames: int):
-        """Dispatch one prepared chunk (async) -> (pixels, aux, steps),
-        aux = [starved, decoded_mcus] int32 device scalars (read lazily)."""
+    def _decode_prepared(self, prepared, frames: int, learn: bool = False):
+        """Dispatch one prepared chunk (async) -> (pixels, aux, steps,
+        nsteps-or-None), aux = [starved, decoded_mcus] int32 device
+        scalars (read lazily).  ``learn`` additionally returns the
+        per-lane consumed-step vector for the phased-scan training."""
         kind, data, starts, nbits, qts = prepared
         nb64 = nbits.astype(np.int64)
         # Aggressive step bound from the ACTUAL chunk, raised to any bound
         # this stream already taught us; starvation (checked lazily by the
         # caller) retries one bucket up and the learned bound sticks.
         max_steps = max(self.max_steps, _max_steps_for(nb64, self.plan, self.ri))
-        if kind == "flat":
+        nsteps = None
+        if kind == "mats":
+            out, starved, mcus = _decode_device_phased(
+                self.plan,
+                self.geom,
+                jnp.asarray(data),
+                jnp.asarray(nbits),
+                jnp.asarray(qts),
+                jnp.asarray(starts),  # perm
+                self._phases_for(frames, max_steps),
+                frames,
+                self.segs_per_frame,
+            )
+        elif kind == "flat":
             out, starved, mcus = _decode_device_flat(
                 self.plan,
                 self.geom,
@@ -349,6 +454,17 @@ class DeviceDecoder:
                 frames,
                 self.segs_per_frame,
                 self.wn,
+            )
+        elif learn:
+            out, starved, mcus, nsteps = _decode_device_learn(
+                self.plan,
+                self.geom,
+                jnp.asarray(data),
+                jnp.asarray(nbits),
+                jnp.asarray(qts),
+                max_steps,
+                frames,
+                self.segs_per_frame,
             )
         else:
             out, starved, mcus = _decode_device(
@@ -364,7 +480,57 @@ class DeviceDecoder:
         aux = jnp.stack(
             [jnp.reshape(starved, ()).astype(jnp.int32), jnp.reshape(mcus, ())]
         )
-        return out, aux, max_steps
+        return out, aux, max_steps, nsteps
+
+    def _phases_for(self, frames: int, max_steps: int):
+        """Static phase schedule from the learned per-segment bounds.
+
+        Lanes (rank-major rows) are sorted descending, so each cut
+        retires the short tail; a phase's cumulative budget must cover
+        the LONGEST lane retiring in it (= the first lane past the next
+        cut).  The final budget is the stream's classic step bound so a
+        misprediction degrades to the single-phase cost, not an error.
+        """
+        spf = self.segs_per_frame
+        S = frames * spf
+        pred = np.repeat(self.lane_steps[self.sort_order], frames)
+        cuts = [S]
+        for d in (2, 4, 16):
+            n = max(128, S // d // 128 * 128)
+            if n < cuts[-1]:
+                cuts.append(n)
+        bounds = []
+        for i in range(len(cuts)):
+            if i + 1 < len(cuts):
+                b = int(pred[min(cuts[i + 1], S - 1)])
+            else:
+                # the longest lane's budget: the classic bound, raised to
+                # the learned max (pred may legitimately exceed the
+                # optimistic classic estimate)
+                b = max(max_steps, int(pred[0]) + 32)
+            # 32-step quanta: fine enough to track the lane spread, few
+            # enough values that the schedule (a static jit key) settles
+            bounds.append(max(64, (b + 31) // 32 * 32))
+        bounds = list(np.maximum.accumulate(bounds))
+        phases = []
+        acc = 0
+        for n, b in zip(cuts, bounds):
+            if b - acc <= 0:
+                continue  # this cut saves nothing; retire with previous
+            phases.append((int(n), int(b - acc)))
+            acc = b
+        return tuple(phases)
+
+    def _learn(self, nsteps: np.ndarray, frames: int) -> None:
+        """Fold one chunk's per-lane consumed steps into the per-segment
+        prediction (content is spatially stable across frames of a
+        stream, so segment position k's cost repeats)."""
+        per_seg = nsteps.reshape(frames, self.segs_per_frame).max(axis=0)
+        pred = (per_seg * 1.15).astype(np.int64) + 16
+        if self.lane_steps is not None:
+            pred = np.maximum(pred, self.lane_steps)
+        self.lane_steps = pred
+        self.sort_order = np.argsort(-pred, kind="stable")
 
     def decode_batch(self, jpegs: Sequence[bytes], chunk: int = 4):
         """-> device-resident pixel batch [F, H, W, C] (uint8/uint16).
@@ -387,14 +553,25 @@ class DeviceDecoder:
         px = n * self.geom.height * self.geom.width
         with default_metrics.stage("device_decode.batch", items=px):
             flight = []
+            pending_learn = []  # [(device nsteps, frames), ...]
             for lo, hi in chunks:
                 try:
                     with trace("device_decode.prepare"):
                         prepared = self.prepare(jpegs[lo:hi])
+                    # Every classic chunk of the FIRST batch also returns
+                    # per-lane consumed steps; the max over all of them
+                    # (covering the stream's content variety) sets the
+                    # learned bounds that sort later batches' lanes for
+                    # the phased narrowed scan.
+                    want_learn = (
+                        self.lane_steps is None and prepared[0] == "mat"
+                    )
                     with trace("device_decode.dispatch"):
-                        out, aux, steps = self._decode_prepared(
-                            prepared, hi - lo
+                        out, aux, steps, nsteps = self._decode_prepared(
+                            prepared, hi - lo, learn=want_learn
                         )
+                    if nsteps is not None:
+                        pending_learn.append((nsteps, hi - lo))
                 except UnsupportedError:
                     # Mixed stream: a frame's tables/geometry differ from
                     # the compiled stream shape.  Degrade this chunk to
@@ -402,9 +579,9 @@ class DeviceDecoder:
                     # (SURVEY §5 failure-isolation row).
                     default_metrics.count("device_decode.mixed_fallbacks")
                     out = self._fallback_chunk(jpegs[lo:hi])
-                    flight.append([out, None, 0, None, hi - lo])
+                    flight.append([out, None, 0, None, hi - lo, lo])
                     continue
-                flight.append([out, aux, steps, prepared, hi - lo])
+                flight.append([out, aux, steps, prepared, hi - lo, lo])
             # Lazy starvation + MCU-accounting sweep.  All chunks' flags
             # come back in ONE device round trip -- a blocking scalar get
             # costs a full tunnel RTT (~10-20 ms here), so 8 per-chunk
@@ -414,9 +591,33 @@ class DeviceDecoder:
                 packed = np.asarray(jnp.stack([rec[1] for rec in live]))
                 for rec, row in zip(live, packed):
                     rec[1] = (bool(row[0]), int(row[1]))
+            for nsteps_d, nf in pending_learn:
+                self._learn(np.asarray(nsteps_d), nf)
             for rec in flight:  # rare per-chunk retries sync individually
                 while rec[3] is not None and rec[1][0]:
                     default_metrics.count("device_decode.starve_retries")
+                    if rec[3][0] == "mats":
+                        # Phased misprediction (content drifted past the
+                        # learned bounds): redo the chunk on the classic
+                        # path WITH learning -- the actual per-lane
+                        # counts max-fold into the sticky budgets, so
+                        # the schedule converges in one step instead of
+                        # an inflate ladder (each rung would retrace).
+                        default_metrics.count("device_decode.phase_inflate")
+                        sort_keep = self.sort_order
+                        self.sort_order = None  # classic frame-major prep
+                        rec[3] = self.prepare(
+                            jpegs[rec[5] : rec[5] + rec[4]]
+                        )
+                        rec[0], aux, rec[2], nst = self._decode_prepared(
+                            rec[3], rec[4], learn=(rec[3][0] == "mat")
+                        )
+                        row = np.asarray(aux)
+                        rec[1] = (bool(row[0]), int(row[1]))
+                        self.sort_order = sort_keep
+                        if nst is not None:
+                            self._learn(np.asarray(nst), rec[4])
+                        continue
                     nb64 = rec[3][3].astype(np.int64)
                     hard_cap = _max_steps_for(
                         nb64, self.plan, self.ri, optimistic=False
@@ -424,7 +625,9 @@ class DeviceDecoder:
                     if rec[2] >= hard_cap:
                         break
                     self.max_steps = _grow_steps(rec[2], hard_cap)
-                    rec[0], aux, rec[2] = self._decode_prepared(rec[3], rec[4])
+                    rec[0], aux, rec[2], _ = self._decode_prepared(
+                        rec[3], rec[4]
+                    )
                     row = np.asarray(aux)
                     rec[1] = (bool(row[0]), int(row[1]))
                 self.max_steps = max(self.max_steps, rec[2])
@@ -557,7 +760,55 @@ def decode_frame_device(data: bytes):
     return px
 
 
-def decode_frame_rstless(data: bytes, lanes: int = 128):
+def decode_stream_rstless(parts: Sequence[bytes], lanes: int = 1024):
+    """RST-less MJPEG frames -> device-resident pixel batch [F, H, W, C].
+
+    ALL frames' speculative chunks ride ONE probe/match dispatch and one
+    final decode (entropy/speculative._speculative_core_batch), then the
+    dense pipeline runs over the whole batch -- the round-3 batched form
+    of ``decode_frame_rstless`` (the reference decodes such streams
+    strictly serially, decoder.c:364-388).  Raises UnsupportedError when
+    the batch defeats speculative resolution or frames don't share the
+    stream's geometry/tables.
+    """
+    from ..api import _derive_cached
+    from ..entropy.speculative import _speculative_core_batch
+
+    cs0 = parse_codestream(parts[0])
+    geom = cs0.geometry
+    if geom is None or len(cs0.scans) != 1:
+        raise UnsupportedError("stream decode wants single-scan frames")
+    scan0 = cs0.scans[0]
+    key0 = tuple(sorted(scan0.htables.items()))
+    segments = []
+    for p in parts:
+        cs = parse_codestream(p)
+        if (
+            cs.geometry != geom
+            or len(cs.scans) != 1
+            or len(cs.scans[0].ecs_ranges) != 1
+            or tuple(sorted(cs.scans[0].htables.items())) != key0
+        ):
+            raise UnsupportedError("mixed stream; decode per frame")
+        s, e = cs.scans[0].ecs_ranges[0]
+        segments.append(unstuff(p[s:e]))
+    tables = {k: _derive_cached(s) for k, s in scan0.htables.items()}
+    res = _speculative_core_batch(
+        geom, scan0.info, tables, segments, lanes=lanes
+    )
+    if res is None:
+        raise UnsupportedError(
+            "speculative resolution failed; decode frames on the host"
+        )
+    coeffs, _ = res
+    total_blocks = sum(c.n_blocks for c in geom.components)
+    qts = jnp.asarray(cs0.qtables.astype(np.int32))
+    return _dense_only(
+        geom, coeffs.reshape(len(parts), total_blocks, 64), qts
+    )
+
+
+def decode_frame_rstless(data: bytes, lanes: int = 1024):
     """One RST-LESS JPEG -> device-resident pixels [H, W, C].
 
     The speculative chunked entropy decode (entropy/speculative.py) and

@@ -157,7 +157,7 @@ def make_sharded_frame_decoder(
     sl = n_segments // n
 
     def local(words, nbits):
-        counts, streams, starved = _scan_lanes(plan, words, nbits, max_steps)
+        counts, streams, starved, _ = _scan_lanes(plan, words, nbits, max_steps)
         all_counts = jax.lax.all_gather(counts, axis)  # [n, sl]
         flat = all_counts.reshape(-1)
         excl = jnp.cumsum(flat) - flat

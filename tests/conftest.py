@@ -19,4 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the entropy engines' scan programs take
+# minutes each to compile on this 1-core box; repeat test runs must not
+# pay that again (the cache key covers backend/flags, so CPU and TPU
+# entries coexist).
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -46,13 +46,14 @@ def test_device_batch_gray():
     assert np.abs(batch[1].astype(int) - host.astype(int)).max() <= 1
 
 
-def test_native_flat_prep_matches_python_parser():
+def test_native_flat_prep_matches_python_parser(monkeypatch):
     """The C++ single-pass prep and the Python parse/unstuff/pack path
     must produce identical lane content (and thus identical decodes)."""
     from jpeg_tpu import native
 
     if not native.available():
         pytest.skip("native toolchain unavailable")
+    monkeypatch.setenv("JPEG_TPU_PREP", "flat")
     params = EncodeParams(h=2, v=2, quality=85, restart_interval=3,
                           optimize=False, exact=False)
     jpegs = [encode_jpeg(make_ppm(80, 64, seed=90 + i), params) for i in range(3)]
@@ -112,6 +113,63 @@ def test_device_batch_starve_retry():
     dec.max_steps = 128  # far below what q90 ri=8 content needs
     batch = np.asarray(dec.decode_batch(jpegs))
     assert dec.max_steps > 128  # grew and stuck
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_learned_phased_scan_matches_classic(monkeypatch):
+    """Second decode_batch of a stream runs the phased narrowed scan
+    (lanes sorted by learned per-segment step counts); output must match
+    the classic path bit-for-bit and the reference within +-1."""
+    monkeypatch.setenv("JPEG_TPU_PREP", "rows")
+    params = EncodeParams(h=2, v=2, quality=80, restart_interval=1,
+                          optimize=False, exact=False)
+    jpegs = [
+        encode_jpeg(make_ppm(160, 120, seed=200 + i), params)
+        for i in range(6)
+    ]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    first = np.asarray(dec.decode_batch(jpegs, chunk=3))  # learns
+    assert dec.lane_steps is not None and dec.sort_order is not None
+    prepared = dec.prepare(jpegs[:3])
+    assert prepared[0] == "mats"  # sorted rows + phased scan engaged
+    # Uniform synthetic content learns near-identical bounds (the
+    # schedule rightly collapses to one phase); inflate the top half --
+    # budgets only grow, so correctness is unaffected -- to force a
+    # genuine multi-phase narrowing through the engine.
+    half = dec.sort_order[: dec.segs_per_frame // 2]
+    dec.lane_steps = dec.lane_steps.copy()
+    dec.lane_steps[half] *= 4
+    dec.sort_order = np.argsort(-dec.lane_steps, kind="stable")
+    assert len(dec._phases_for(3, dec.max_steps)) > 1  # narrowing real
+    second = np.asarray(dec.decode_batch(jpegs, chunk=3))  # phased
+    np.testing.assert_array_equal(first, second)
+    for i, jpg in enumerate(jpegs):
+        golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
+        assert np.abs(second[i].astype(int) - golden.astype(int)).max() <= 1
+
+
+def test_phased_misprediction_falls_back(monkeypatch):
+    """Absurdly low learned bounds must starve, redo the chunk on the
+    classic path, INFLATE the sticky budgets (round-3 policy: dropping
+    them caused learn/retrace churn), and still decode correctly."""
+    monkeypatch.setenv("JPEG_TPU_PREP", "rows")
+    params = EncodeParams(h=2, v=2, quality=85, restart_interval=1,
+                          optimize=False, exact=False)
+    jpegs = [
+        encode_jpeg(make_ppm(160, 120, seed=210 + i), params)
+        for i in range(2)
+    ]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    spf = dec.segs_per_frame
+    dec.lane_steps = np.full(spf, 8, np.int64)  # nonsense: ~8 steps/lane
+    dec.sort_order = np.arange(spf)
+    batch = np.asarray(dec.decode_batch(jpegs))
+    assert dec.lane_steps is not None and dec.lane_steps.min() > 8
+    from jpeg_tpu.utils.metrics import default_metrics
+
+    assert default_metrics.counters.get("device_decode.phase_inflate", 0) > 0
     for i, jpg in enumerate(jpegs):
         golden = jpeg_tpu.decode_jpeg(jpg, exact=True).pixels()
         assert np.abs(batch[i].astype(int) - golden.astype(int)).max() <= 1

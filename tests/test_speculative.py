@@ -182,6 +182,42 @@ def test_decode_frame_rstless_device():
     assert np.abs(px.astype(np.int32) - want).max() <= 1
 
 
+def test_decode_stream_rstless_batched():
+    """ALL frames of an RST-less stream decode in ONE probe/resolve/final
+    round (the round-3 batched core); per-frame pixels match the host
+    fast path within +-1."""
+    import jpeg_tpu
+    from jpeg_tpu.models.device_decode import decode_stream_rstless
+
+    # shared (MJPEG-style) tables: the batched core compiles one table
+    # set in; per-frame optimized tables route through per-frame decode
+    params = EncodeParams(h=2, v=2, quality=80, optimize=False)
+    parts = [
+        encode_jpeg(make_ppm(320, 240, seed=60 + i), params) for i in range(3)
+    ]
+    px = np.asarray(decode_stream_rstless(parts))
+    assert px.shape[0] == 3
+    for i, p in enumerate(parts):
+        want = jpeg_tpu.decode_jpeg(p, exact=False).pixels()
+        assert np.abs(px[i].astype(np.int32) - want).max() <= 1, i
+
+
+def test_mjpeg_device_stream_rstless_routes_batched():
+    """mjpeg.decode_stream_device on an RST-less stream goes through the
+    batched speculative path and matches per-frame host decodes."""
+    import jpeg_tpu
+    from jpeg_tpu import mjpeg
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False)
+    parts = [
+        encode_jpeg(make_ppm(256, 192, seed=70 + i), params) for i in range(2)
+    ]
+    px = np.asarray(mjpeg.decode_stream_device(b"".join(parts)))
+    for i, p in enumerate(parts):
+        want = jpeg_tpu.decode_jpeg(p, exact=False).pixels()
+        assert np.abs(px[i].astype(np.int32) - want).max() <= 1, i
+
+
 def test_decode_frame_rstless_device_gray():
     import jpeg_tpu
     from jpeg_tpu.models.device_decode import decode_frame_rstless

@@ -61,12 +61,12 @@ def main():
 
     @functools.partial(jax.jit, static_argnames=("max_steps",))
     def scan_only(words, nbits, max_steps):
-        counts, (ek, ev), starved = _scan_lanes(plan, words, nbits, max_steps)
+        counts, (ek, ev), starved, _ = _scan_lanes(plan, words, nbits, max_steps)
         return counts.sum() + ek.sum() + ev.sum()
 
     @functools.partial(jax.jit, static_argnames=("max_steps",))
     def scan_place(words, nbits, max_steps):
-        counts, streams, starved = _scan_lanes(plan, words, nbits, max_steps)
+        counts, streams, starved, _ = _scan_lanes(plan, words, nbits, max_steps)
         coeffs = _place_emissions(
             plan, counts, [streams], CHUNK, S // CHUNK, total_blocks
         )

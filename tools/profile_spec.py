@@ -47,28 +47,49 @@ def main():
     data = encode_jpeg(make_frame_ppm(3), params)
     print(f"frame: {len(data)/1e3:.0f} KB compressed", file=sys.stderr)
 
-    spec._probe = timed("probe(jit+sync)", spec._probe)
+    spec._probe_match = timed("probe+match(jit+sync)", spec._probe_match)
     spec._final_decode = timed("final(jit+sync)", spec._final_decode)
     spec._dc_fixup = timed("dc_fixup", spec._dc_fixup)
 
     # Wrap np.asarray on meta to catch the download: patch run_probe's
     # download by timing inside _speculative_core is invasive; instead
     # time the whole core and subtract the patched pieces.
-    from jpeg_tpu.models.device_decode import decode_frame_rstless
+    from jpeg_tpu.models.device_decode import (
+        decode_frame_rstless,
+        decode_stream_rstless,
+    )
 
     for rep in range(3):
         T.clear()
         t0 = time.perf_counter()
-        px = decode_frame_rstless(data, lanes=128)
-        jax.block_until_ready(px)
+        px = decode_frame_rstless(data, lanes=1024)
+        np.asarray(px).sum()
         total = time.perf_counter() - t0
-        lines = [f"total {total*1e3:.0f} ms ({H*W/1e6/total:.1f} Mpix/s)"]
+        lines = [f"1-frame total {total*1e3:.0f} ms "
+                 f"({H*W/1e6/total:.1f} Mpix/s)"]
         acct = 0.0
         for k, v in T.items():
             lines.append(f"  {k}: {len(v)} calls, {sum(v)*1e3:.0f} ms")
             acct += sum(v)
-        lines.append(f"  unaccounted (host resolve + meta download + misc): "
+        lines.append(f"  unaccounted (host windows + resolve + dense): "
                      f"{(total-acct)*1e3:.0f} ms")
+        print("\n".join(lines), file=sys.stderr)
+
+    # batched: 8 frames, one probe/match + one final
+    parts = [data] * 8
+    for rep in range(3):
+        T.clear()
+        t0 = time.perf_counter()
+        px = decode_stream_rstless(parts)
+        np.asarray(px[:, :2, :2]).sum()  # sync without the big download
+        total = time.perf_counter() - t0
+        lines = [f"8-frame batched total {total*1e3:.0f} ms "
+                 f"({8*H*W/1e6/total:.1f} Mpix/s)"]
+        acct = 0.0
+        for k, v in T.items():
+            lines.append(f"  {k}: {len(v)} calls, {sum(v)*1e3:.0f} ms")
+            acct += sum(v)
+        lines.append(f"  unaccounted: {(total-acct)*1e3:.0f} ms")
         print("\n".join(lines), file=sys.stderr)
 
 
