@@ -6,9 +6,11 @@ simultaneously, one Huffman symbol per lane per step.  The TPU mapping
 
   * the scan body is SCALARIZED -- every intermediate is an [S] vector
     (2-D one-hot matrices pad their minor dim to 128 lanes and become
-    HBM round trips); small constant axes are unrolled select chains
-    with plan tables folded in as HLO constants; only the huffval lookup
-    keeps a 2-D one-hot (an MXU bf16 matmul);
+    HBM round trips -- measured: the old [S, 256] huffval one-hot
+    matmul was the scan's DOMINANT per-step cost at ~8 MB of traffic);
+    small constant axes are unrolled select chains with plan tables
+    folded in as HLO constants, including the huffval lookup (packed
+    4-bytes-per-word select chain, _hv_consts);
   * the 32-bit bit window rides in the carry and refills with one
     word-select loop per step (a symbol crosses at most one boundary);
   * TPU scatter costs ~8 ns per attempted update, so decode emits ONE
@@ -313,24 +315,19 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
     pref_l = code16 >> (16 - length)
     vidx = jnp.clip(base + pref_l - minc, 0, iota_hv.shape[1] - 1)
 
-    # value = huffval[tab, vidx] via a NIBBLE-SPLIT one-hot matmul: a
-    # full [S, Vpad] bf16 one-hot materializes ~8 MB/step to HBM, which
-    # measurement pinned as the scan's dominant per-step cost; hi/lo
-    # nibble splitting shrinks the materialized operands 16x.  hv_cols
-    # is [16, T*G] with hv_cols[lo, t*G + hi] = huffval[t, hi*16+lo];
-    # bf16 holds the <=255 values and one-hot products exactly.
-    G = iota_hv.shape[1] // 16
-    lo = vidx & 15
-    hi = vidx >> 4
-    lo_oh = (jax.lax.broadcasted_iota(jnp.int32, (lo.shape[0], 16), 1)
-             == lo[:, None]).astype(jnp.bfloat16)
-    tmp = jnp.dot(lo_oh, hv_cols, preferred_element_type=jnp.bfloat16)
-    value = jnp.zeros_like(vidx)
-    for t in range(T):
-        pick_t = jnp.zeros(lo.shape[0], jnp.bfloat16)
-        for g in range(G):
-            pick_t = jnp.where(hi == g, tmp[:, t * G + g], pick_t)
-        value = jnp.where(tab == t, pick_t.astype(jnp.int32), value)
+    # value = huffval[tab, vidx] via a packed-word select chain: pure
+    # [S]-shaped ops that fuse into the step's single elementwise pass
+    # (a [S, 256] one-hot matmul materializes ~8 MB/step of HBM traffic
+    # -- measured as the scan's dominant term -- and narrower one-hots
+    # still pad to the 128-lane tile).  hv_cols here is a host tuple of
+    # T*vpad/4 ints packing 4 table bytes each.
+    wpt = iota_hv.shape[1] // 4  # words per table
+    widx_v = tab * wpt + (vidx >> 2)
+    packed = jnp.zeros_like(vidx)
+    for j, w in enumerate(hv_cols):
+        if w:
+            packed = jnp.where(widx_v == j, w, packed)
+    value = (packed >> ((vidx & 3) * 8)) & 255
 
     # cat clamped to 16 so the 32-bit window shifts stay in range; the
     # corrupt test uses the raw value (DC categories > 16 kill the lane,
@@ -434,15 +431,25 @@ def _symbol_step_scalar(plan: ScanPlan, nbits, words_t, hv_cols, iota_hv, carry,
 
 
 def _hv_consts(plan: ScanPlan):
-    """Nibble-split huffval constants: hv_cols [16, T*G] with
-    hv_cols[lo, t*G + hi] = huffval[t, hi*16 + lo] (see the lookup in
-    _symbol_step_scalar); iota_hv carries the padded table width."""
-    T = plan.huffval.shape[0]
-    vpad = ((plan.max_codes + 15) // 16) * 16
-    G = vpad // 16
-    hv = plan.huffval[:, :vpad].astype(np.float32)
-    arr = hv.reshape(T, G, 16).transpose(2, 0, 1).reshape(16, T * G)
-    return (jnp.asarray(arr).astype(jnp.bfloat16),
+    """Packed huffval constants for the select-chain lookup: hv_words
+    [T * vpad/4] int32 host tuple, word t*(vpad/4) + (v>>2) packing
+    huffval[t, v] at byte v&3; iota_hv carries the padded table width.
+
+    Rationale (measured): a [S, 256] bf16 one-hot matmul materializes
+    ~8 MB/step of HBM traffic and dominated the scan; a [S, 16] nibble
+    split does NOT help because a 16-wide minor axis still pads to the
+    128-lane tile.  A pure [S]-shaped select chain over the packed
+    words keeps everything inside the fused elementwise pass."""
+    vpad = ((plan.max_codes + 3) // 4) * 4
+    hv = plan.huffval[:, :vpad].astype(np.int64)
+    words = (
+        hv[:, 0::4]
+        | (hv[:, 1::4] << 8)
+        | (hv[:, 2::4] << 16)
+        | (hv[:, 3::4] << 24)
+    ).reshape(-1)
+    words = np.where(words >= 1 << 31, words - (1 << 32), words)  # i32
+    return (tuple(int(w) for w in words),
             jnp.arange(vpad, dtype=jnp.int32)[None, :])
 
 

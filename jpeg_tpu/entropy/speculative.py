@@ -154,26 +154,16 @@ def _spec_step(plan: ScanPlan, consts, carry):
     pref_l = code16 >> (16 - length)
     vidx = jnp.clip(base + pref_l - minc, 0, iota_hv.shape[1] - 1)
 
-    # value = huffval[tab, vidx] via a NIBBLE-SPLIT one-hot matmul: a
-    # full [L, 256] one-hot materializes ~10 MB/step to HBM (measured
-    # ~20 us/step, the scan's dominant term); splitting vidx into
-    # hi/lo nibbles shrinks the materialized operands 16x.  hv_cols is
-    # [16, T * hi_groups] with hv_cols[lo, t*G + hi] = huffval[t,
-    # hi*16+lo]; tmp[l, t*G+hi] = huffval[t, hi*16 + lo(l)], and the
-    # (tab, hi) select-chain finishes the pick.  bf16 holds the <=255
-    # values and the one-hot products exactly.
-    G = iota_hv.shape[1] // 16  # hi groups (padded table width / 16)
-    lo = vidx & 15
-    hi = vidx >> 4
-    lo_oh = (jax.lax.broadcasted_iota(jnp.int32, (lo.shape[0], 16), 1)
-             == lo[:, None]).astype(jnp.bfloat16)
-    tmp = jnp.dot(lo_oh, hv_cols, preferred_element_type=jnp.bfloat16)
-    value = jnp.zeros_like(vidx)
-    for t in range(T):
-        pick_t = jnp.zeros(lo.shape[0], jnp.bfloat16)
-        for g in range(G):
-            pick_t = jnp.where(hi == g, tmp[:, t * G + g], pick_t)
-        value = jnp.where(tab == t, pick_t.astype(jnp.int32), value)
+    # value = huffval[tab, vidx] via a packed-word select chain (pure
+    # [L]-shaped ops fusing into the step's elementwise pass; see
+    # lockstep_jax for the measured rationale).
+    wpt = iota_hv.shape[1] // 4
+    widx_v = tab * wpt + (vidx >> 2)
+    packed = jnp.zeros_like(vidx)
+    for j, w in enumerate(hv_cols):
+        if w:
+            packed = jnp.where(widx_v == j, w, packed)
+    value = (packed >> ((vidx & 3) * 8)) & 255
 
     cat = jnp.where(is_dc, jnp.minimum(value, 16), value & 15)
     corrupt = (~any_ok) | (is_dc & (value > 16))
@@ -231,37 +221,98 @@ def _spec_step(plan: ScanPlan, consts, carry):
     alive = live
 
     # ---- window refill: at most one 32-bit boundary per symbol ---------
-    widx_new = bitpos >> 5
-    crossed = live & (widx_new != ((bitpos - need) >> 5))
-    tgt = widx_new + 1
-    if refill[0] == "chain":
-        words_t = refill[1]  # [wn, L]
-        fetched = jnp.zeros_like(w1)
-        for j in range(words_t.shape[0]):
-            fetched = jnp.where(tgt == j, words_t[j], fetched)
-    else:
+    # "none": the macro-step wrapper (chain mode) carries a 5-word
+    # window and feeds w0/w1 per inner step -- the per-step refill here
+    # would re-read the whole [wn, L] matrix from HBM (measured as the
+    # probe scan's dominant cost, ~12 MB/step at the 8-frame shape).
+    if refill[0] != "none":
+        widx_new = bitpos >> 5
+        crossed = live & (widx_new != ((bitpos - need) >> 5))
+        tgt = widx_new + 1
         words_flat, row_of_lane, wn = refill[1:]
         idx = row_of_lane * wn + jnp.clip(tgt, 0, wn - 1)
         fetched = jnp.take(words_flat, idx, mode="clip")
-    w0 = jnp.where(crossed, w1, w0)
-    w1 = jnp.where(crossed, fetched, w1)
+        w0 = jnp.where(crossed, w1, w0)
+        w1 = jnp.where(crossed, fetched, w1)
 
     carry = (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
              w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail)
     return carry, (em_key, em_val, rec_key, rec_val)
 
 
+NW = 9  # carried window words in chain mode (>= INNER + 1)
+INNER = 8  # symbol steps per matrix refill
+
+
+def _chain_scan(plan, consts, words_t, start_bit, start_slot, nbits,
+                max_steps: int):
+    """Macro-step scan for chain mode: carry a 5-word (160-bit) window
+    per lane and decode INNER symbols per refill, so the [wn, L] window
+    matrix is read from HBM once per INNER steps instead of every step.
+
+    Invariant: a symbol consumes <= 32 bits, so after a refill sets
+    wbase = bitpos >> 5 (offset < 32), inner step k reads window words
+    <= k + 1 <= NW - 1.  Returns (final state carry, ys tuple of
+    [ceil(max_steps/INNER)*INNER, L] arrays).
+    """
+    L = start_bit.shape[0]
+    z = jnp.zeros_like(start_bit)
+
+    def fetch(wb):
+        ws = [jnp.zeros(L, jnp.uint32) for _ in range(NW)]
+        for r_i in range(words_t.shape[0]):
+            row = words_t[r_i]
+            for jj in range(NW):
+                ws[jj] = jnp.where(wb + jj == r_i, row, ws[jj])
+        return tuple(ws)
+
+    wb0 = start_bit >> 5
+    carry0 = (
+        start_bit, start_bit < nbits, z, start_slot, z,
+        tuple(z for _ in range(plan.n_comps)), z,
+        jnp.zeros(L, jnp.uint32), jnp.zeros(L, jnp.uint32),
+        z, z, z, z, z,
+    )
+
+    def macro(carry_all, _):
+        carry, w5, wb = carry_all
+        ems = []
+        for _k in range(INNER):
+            bitpos = carry[0]
+            j = (bitpos >> 5) - wb  # in [0, NW-2] by the invariant
+            w0 = w5[0]
+            for i in range(1, NW):
+                w0 = jnp.where(j == i, w5[i], w0)
+            w1 = w5[1]
+            for i in range(2, NW):
+                w1 = jnp.where(j + 1 == i, w5[i], w1)
+            carry = carry[:7] + (w0, w1) + carry[9:]
+            carry, em = _spec_step(plan, consts, carry)
+            ems.append(em)
+        wb2 = carry[0] >> 5
+        return (carry, fetch(wb2), wb2), tuple(
+            jnp.stack([e[i] for e in ems]) for i in range(4)
+        )
+
+    # unroll=1: the INNER symbol steps already amortize the loop
+    # overhead, and the macro body is large enough that further
+    # unrolling mostly inflates compile time (minutes per shape on the
+    # CPU test tier).
+    macros = -(-max_steps // INNER)
+    (carry, _, _), ys = jax.lax.scan(
+        macro, (carry0, fetch(wb0), wb0), None, length=macros, unroll=1
+    )
+    ys = tuple(y.reshape(-1, L) for y in ys)
+    return carry, ys
+
+
 def _hv_consts(plan: ScanPlan):
-    """Nibble-split huffval constants: hv_cols [16, T*G] with
-    hv_cols[lo, t*G + hi] = huffval[t, hi*16 + lo] (see _spec_step)."""
-    T = plan.huffval.shape[0]
-    vpad = ((plan.max_codes + 15) // 16) * 16
-    G = vpad // 16
-    hv = plan.huffval[:, :vpad].astype(np.float32)  # [T, vpad]
-    arr = hv.reshape(T, G, 16).transpose(2, 0, 1).reshape(16, T * G)
-    hv_cols = jnp.asarray(arr).astype(jnp.bfloat16)
-    iota_hv = jnp.arange(vpad, dtype=jnp.int32)[None, :]
-    return hv_cols, iota_hv
+    """Packed huffval constants (see lockstep_jax._hv_consts): a host
+    tuple of T*vpad/4 int32 words, 4 table bytes each -- the lookup is
+    then a pure [L]-shaped select chain that fuses into the step."""
+    from .lockstep_jax import _hv_consts as _lk
+
+    return _lk(plan)
 
 
 def _row_select(words_flat, row_of_lane, wn, tgt):
@@ -301,6 +352,18 @@ def _init_carry(plan, refill, start_bit, start_slot, nbits):
     )
 
 
+def _lane_matrix(words, reps: int):
+    """[R, wn] chunk windows -> [R*reps, wn] per-lane rows via broadcast
+    (the canonical lane layout repeats each row ``reps`` times; a gather
+    would cost ~10 ns/element)."""
+    if reps <= 1:
+        return words
+    R, wn = words.shape
+    return jnp.broadcast_to(words[:, None, :], (R, reps, wn)).reshape(
+        R * reps, wn
+    )
+
+
 def _refill_arg(plan, words, row_of_lane, chain: bool, reps: int = 1):
     """words: [R, wn] window rows; lane l reads row row_of_lane[l].
 
@@ -337,18 +400,27 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
     """
     L = start_bit.shape[0]
     hv_cols, iota_hv = _hv_consts(plan)
-    refill = _refill_arg(plan, words, row_of_lane, chain, reps=reps)
-    consts = (refill, nbits, nbits, jnp.int32(1 << 29),
-              jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
-    init = _init_carry(plan, refill, start_bit, start_slot, nbits)
+    if chain:
+        words_t = _lane_matrix(words, reps).T
+        consts = (("none",), nbits, nbits, jnp.int32(1 << 29),
+                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
+        carry, (_, _, rkey, rval) = _chain_scan(
+            plan, consts, words_t, start_bit, start_slot, nbits, max_steps
+        )
+    else:
+        refill = ("gather", words.reshape(-1), row_of_lane, words.shape[1])
+        consts = (refill, nbits, nbits, jnp.int32(1 << 29),
+                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
+        init = _init_carry(plan, refill, start_bit, start_slot, nbits)
 
-    def step(carry, _):
-        carry, (_, _, rk, rv) = _spec_step(plan, consts, carry)
-        return carry, (rk, rv)
+        def step(carry, _):
+            carry, (_, _, rk, rv) = _spec_step(plan, consts, carry)
+            return carry, (rk, rv)
 
-    carry, (rkey, rval) = jax.lax.scan(
-        step, init, None, length=max_steps, unroll=UNROLL
-    )
+        carry, (rkey, rval) = jax.lax.scan(
+            step, init, None, length=max_steps, unroll=UNROLL
+        )
+        rkey, rval = rkey, rval
     blk_final = carry[2]
     alive = carry[1]
     pre_tail = carry[13]
@@ -440,19 +512,26 @@ def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
     dc_final [C, R], starved)."""
     R = words.shape[0]
     hv_cols, iota_hv = _hv_consts(plan)
-    rows = jnp.arange(R, dtype=jnp.int32)
-    refill = _refill_arg(plan, words, rows, chain)
-    consts = (refill, nbits, jnp.full_like(start_bit, 1 << 29), nblk,
-              jnp.int32(1 << 29), jnp.int32(0), hv_cols, iota_hv)
-    init = _init_carry(plan, refill, start_bit, start_slot, nbits)
+    if chain:
+        consts = (("none",), nbits, jnp.full_like(start_bit, 1 << 29),
+                  nblk, jnp.int32(1 << 29), jnp.int32(0), hv_cols, iota_hv)
+        carry, (em_key, em_val, _, _) = _chain_scan(
+            plan, consts, words.T, start_bit, start_slot, nbits, max_steps
+        )
+    else:
+        rows = jnp.arange(R, dtype=jnp.int32)
+        refill = ("gather", words.reshape(-1), rows, words.shape[1])
+        consts = (refill, nbits, jnp.full_like(start_bit, 1 << 29), nblk,
+                  jnp.int32(1 << 29), jnp.int32(0), hv_cols, iota_hv)
+        init = _init_carry(plan, refill, start_bit, start_slot, nbits)
 
-    def step(carry, _):
-        carry, (ek, ev, _, _) = _spec_step(plan, consts, carry)
-        return carry, (ek, ev)
+        def step(carry, _):
+            carry, (ek, ev, _, _) = _spec_step(plan, consts, carry)
+            return carry, (ek, ev)
 
-    carry, (em_key, em_val) = jax.lax.scan(
-        step, init, None, length=max_steps, unroll=UNROLL
-    )
+        carry, (em_key, em_val) = jax.lax.scan(
+            step, init, None, length=max_steps, unroll=UNROLL
+        )
     kk = em_key - 1  # invalid -> -1
     gblk = g0[None, :] + (kk >> 6)
     pos = kk & 63

@@ -47,9 +47,12 @@ def main():
     print(f"decode_batch 64f: {dt*1e3:.0f} ms -> {64*H*W/1e6/dt:.1f} Mpix/s")
 
     prepared = dec.prepare(jpegs[:CHUNK])
-    buf, starts, nbits, qts = prepared[1:]
-    idx = starts[:, None] + np.arange(dec.wn, dtype=np.int32)[None, :]
-    words = np.asarray(buf)[np.minimum(idx, np.asarray(buf).shape[0] - 1)]
+    kind, buf, starts, nbits, qts = prepared
+    if kind == "flat":
+        idx = starts[:, None] + np.arange(dec.wn, dtype=np.int32)[None, :]
+        words = np.asarray(buf)[np.minimum(idx, np.asarray(buf).shape[0] - 1)]
+    else:  # "mat"/"mats": buf already IS the [S, wn] lane matrix
+        words = np.asarray(buf)
     steps = dec.max_steps
     S = words.shape[0]
     total_blocks = sum(c.n_blocks for c in dec.geom.components)

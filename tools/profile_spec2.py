@@ -108,52 +108,33 @@ def main():
     jsl = jnp.asarray(variant)
     vm0 = jnp.zeros(R * ov_bits, jnp.int32)
 
-    # ---- scan only -----------------------------------------------------
-    @partial(jax.jit, static_argnames=("max_steps", "chain_f"))
-    def scan_only(words, row_of_lane, nb, sb, sl, max_steps, chain_f):
+    # ---- scan only (macro-step chain) ----------------------------------
+    @partial(jax.jit, static_argnames=("max_steps",))
+    def scan_only(words, nb, sb, sl, max_steps):
         hv_cols, iota_hv = spec._hv_consts(plan)
-        refill = spec._refill_arg(plan, words, row_of_lane, chain_f,
-                                 reps=plan.blocks_per_mcu)
-        consts = (refill, nb, nb, jnp.int32(1 << 29), jnp.int32(cb_bits),
-                  jnp.int32(ov_bits), hv_cols, iota_hv)
-        init = spec._init_carry(plan, refill, sb, sl, nb)
+        words_t = spec._lane_matrix(words, bpm).T
+        consts = (("none",), nb, nb, jnp.int32(1 << 29),
+                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
+        carry, (_, _, rk, rv) = spec._chain_scan(
+            plan, consts, words_t, sb, sl, nb, max_steps)
+        return carry[2].sum() + rk.sum() + rv.sum()
 
-        def step(carry, _):
-            carry, (_, _, rk, rv) = spec._spec_step(plan, consts, carry)
-            return carry, (rk, rv)
+    timeit("scan only", lambda: scan_only(jwords, jnb, jsb, jsl, steps))
 
-        carry, (rkey, rval) = jax.lax.scan(
-            step, init, None, length=max_steps, unroll=spec.UNROLL
-        )
-        return carry[2].sum() + rkey.sum() + rval.sum()
-
-    timeit("scan only", lambda: scan_only(jwords, jrow, jnb, jsb, jsl,
-                                          steps, chain))
-
-    # ---- scan + sort ---------------------------------------------------
-    @partial(jax.jit, static_argnames=("max_steps", "chain_f"))
-    def scan_sort(words, row_of_lane, nb, sb, sl, max_steps, chain_f):
+    @partial(jax.jit, static_argnames=("max_steps",))
+    def scan_sort(words, nb, sb, sl, max_steps):
         hv_cols, iota_hv = spec._hv_consts(plan)
-        refill = spec._refill_arg(plan, words, row_of_lane, chain_f,
-                                 reps=plan.blocks_per_mcu)
-        consts = (refill, nb, nb, jnp.int32(1 << 29), jnp.int32(cb_bits),
-                  jnp.int32(ov_bits), hv_cols, iota_hv)
-        init = spec._init_carry(plan, refill, sb, sl, nb)
-
-        def step(carry, _):
-            carry, (_, _, rk, rv) = spec._spec_step(plan, consts, carry)
-            return carry, (rk, rv)
-
-        carry, (rkey, rval) = jax.lax.scan(
-            step, init, None, length=max_steps, unroll=spec.UNROLL
-        )
+        words_t = spec._lane_matrix(words, bpm).T
+        consts = (("none",), nb, nb, jnp.int32(1 << 29),
+                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
+        carry, (_, _, rkey, rval) = spec._chain_scan(
+            plan, consts, words_t, sb, sl, nb, max_steps)
         k_t = jnp.where(rval > 0, rkey, spec.BIGKEY).T
         keys_s, recs_s = jax.lax.sort((k_t, rval.T), dimension=1, num_keys=1)
         take = min(spec.TCAP + spec.HCAP, recs_s.shape[1])
         return keys_s[:, :take].sum() + recs_s[:, :take].sum()
 
-    timeit("scan+sort", lambda: scan_sort(jwords, jrow, jnb, jsb, jsl,
-                                          steps, chain))
+    timeit("scan+sort", lambda: scan_sort(jwords, jnb, jsb, jsl, steps))
 
     # ---- full probe+match ---------------------------------------------
     timeit("probe+match", lambda: spec._probe_match(
