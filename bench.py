@@ -266,6 +266,22 @@ def main() -> None:
                          min_reps=4, max_reps=12)
         log(f"device encode (HBM pixels -> JPEG): {be:.1f} Mpix/s")
         extra["device_encode_Mpix_s"] = round(be, 1)
+
+        # Device COMPUTE alone (dense + entropy + compaction, words stay
+        # in HBM): end-to-end encode on this box is bound by pulling the
+        # JPEG payload itself through the ~25 MB/s dev tunnel (see the
+        # encode roofline, docs/ARCHITECTURE.md); this is the number a
+        # PCIe-attached host sees.
+        def enc_compute():
+            rs = [enc._dispatch(dpix[lo:lo + 8], 8, enc.ehufco,
+                                enc.ehufsi, False)
+                  for lo in range(0, UNIQUE, 8)]
+            jax.block_until_ready([r[0] for r in rs])
+
+        bc = stable_best(enc_compute, UNIQUE * WIDTH * HEIGHT / 1e6,
+                         "device encode compute", min_reps=4, max_reps=12)
+        log(f"device encode compute (words stay in HBM): {bc:.1f} Mpix/s")
+        extra["device_encode_compute_Mpix_s"] = round(bc, 1)
     except Exception as e:
         log(f"device encode probe skipped: {type(e).__name__}: {e}")
 

@@ -55,6 +55,7 @@ unresolvable falls back to the serial oracle (counted in metrics).
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -81,6 +82,11 @@ BIGKEY = 1 << 20
 
 # res[, :] columns returned by _probe_match
 R_SIG, R_M, R_PAY, R_PRET, R_TAIL0, R_ALIVE, R_BLK = range(7)
+
+# Sticky learned step bounds per (plan identity, chunk bytes): [probe
+# steps, final steps].  Plans are lru-cached singletons (see
+# _cached_plan_of), so id() is a stable key for the process lifetime.
+_learned_steps: Dict[Tuple[int, int], list] = {}
 
 
 def _spec_step(plan: ScanPlan, consts, carry):
@@ -632,6 +638,8 @@ def _speculative_core_batch(
     DC fixed up, n_use list) -- or None when the batch defeats
     resolution (caller falls back per frame).
     """
+    from ..utils.metrics import default_metrics
+
     plan = _cached_plan_of(geom, info, tables)
     bpm = plan.blocks_per_mcu
     total_blocks = sum(
@@ -666,21 +674,22 @@ def _speculative_core_batch(
     row_base = np.concatenate(([0], np.cumsum(S_f))).astype(np.int64)
     R_real = int(row_base[-1])
     R = -(-R_real // 64) * 64
-    wmat = np.zeros((R, wn * 4), dtype=np.uint8)
-    win_bits = np.zeros(R, np.int64)
-    for f in range(F):
-        n, S = sizes[f], S_f[f]
-        pad = np.zeros((S - 1) * cb + win, np.uint8)
-        pad[:n] = segs[f]
-        view = np.lib.stride_tricks.sliding_window_view(pad, win)[::cb]
-        r0 = int(row_base[f])
-        wmat[r0 : r0 + S, :win] = view[:S]
-        lo = np.arange(S, dtype=np.int64) * cb
-        win_bits[r0 : r0 + S] = (np.minimum(lo + win, n) - lo) * 8
-    words = (
-        wmat.reshape(R, wn, 4).astype(np.uint32)
-        << np.array([24, 16, 8, 0])
-    ).sum(axis=2).astype(np.uint32)
+    with default_metrics.stage("speculative.window_build"):
+        wmat = np.zeros((R, wn * 4), dtype=np.uint8)
+        win_bits = np.zeros(R, np.int64)
+        for f in range(F):
+            n, S = sizes[f], S_f[f]
+            pad = np.zeros((S - 1) * cb + win, np.uint8)
+            pad[:n] = segs[f]
+            view = np.lib.stride_tricks.sliding_window_view(pad, win)[::cb]
+            r0 = int(row_base[f])
+            wmat[r0 : r0 + S, :win] = view[:S]
+            lo = np.arange(S, dtype=np.int64) * cb
+            win_bits[r0 : r0 + S] = (np.minimum(lo + win, n) - lo) * 8
+        words = (
+            wmat.reshape(R, wn, 4).astype(np.uint32)
+            << np.array([24, 16, 8, 0])
+        ).sum(axis=2).astype(np.uint32)
 
     # Lanes: bpm phase variants per chunk row.
     L = R * bpm
@@ -696,9 +705,15 @@ def _speculative_core_batch(
     # conservative: an extra ~15% of steps is far cheaper than a whole
     # re-dispatch).  The bound must cover BOTH so the authoritative lane
     # finishes its window on the first probe; the hard retry covers
-    # dense content.
+    # dense content.  Step bounds that a retry ladder had to raise are
+    # STICKY per (plan, chunk size): the next batch of the stream starts
+    # at the proven bound instead of re-paying the failed dispatch.
     steps = (ov_bits // 3 + win * 8 * 2 // 9 + 64 + 63) // 64 * 64
     hard_steps = (win * 8 // 3 + ov_bits // 3 + 96 + 63) // 64 * 64
+    lkey = (id(plan), cb)
+    learned = _learned_steps.get(lkey)
+    if learned is not None:
+        steps = max(steps, learned[0])
 
     jwords = jnp.asarray(words)
     jrow = jnp.asarray(row_of_lane)
@@ -714,7 +729,29 @@ def _speculative_core_batch(
             ov_bits, cb_bits, reps=bpm,
         )
 
-    from ..utils.metrics import default_metrics
+    def probe_small(rows_np, sbit, sslot, nb, vm, st):
+        """Re-probe ONLY the failed rows (padded to a 128-row bucket)
+        instead of redispatching all L lanes: a resolve round's device
+        cost drops from the full probe (~L x steps) to noise.  Row ids
+        stay GLOBAL so vm writes/matches land in the shared maps; the
+        row windows gather out of the device-resident [R, wn] matrix."""
+        L2 = len(rows_np)
+        pad = max(128, 1 << (L2 - 1).bit_length()) if L2 > 1 else 128
+        rows_p = np.zeros(pad, np.int32)
+        rows_p[:L2] = rows_np
+        arr = np.zeros((3, pad), np.int32)
+        arr[0, :L2], arr[1, :L2], arr[2, :L2] = sbit, sslot, nb
+        succ2 = np.full(pad, -1, np.int32)
+        succ2[:L2] = succ[np.asarray(rows_np, np.int64) * bpm]
+        jr = jnp.asarray(rows_p)
+        res2, vm = _probe_match(
+            plan, jnp.take(jwords, jr, axis=0), jr,
+            jnp.asarray(succ2), jnp.zeros(pad, jnp.int32),
+            jnp.asarray(arr[2]), jnp.asarray(arr[0]),
+            jnp.asarray(arr[1]), vm, st, chain, R,
+            ov_bits, cb_bits, reps=1,
+        )
+        return np.asarray(res2)[:L2], vm
 
     start_bit0 = np.zeros(L, np.int32)
     rounds = max_rounds or max(12, R // 2)
@@ -724,19 +761,23 @@ def _speculative_core_batch(
         if attempt:
             default_metrics.count("speculative.hard_retries")
         vm = jnp.zeros(R * ov_bits, jnp.int32)
-        res_d, vm = probe(start_bit0, variant, nbits_l, vm, steps)
-        res_h = np.asarray(res_d)  # [L, 7] -- the ONLY bulk download
+        with default_metrics.stage("speculative.probe_sync"):
+            res_d, vm = probe(start_bit0, variant, nbits_l, vm, steps)
+            res_h = np.asarray(res_d)  # [L, 7] -- the ONLY bulk download
 
-        out = _resolve(
-            res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
-            rounds, probe, vm, steps, L, R_real,
-        )
+        with default_metrics.stage("speculative.resolve"):
+            out = _resolve(
+                res_h, plan, F, R, bpm, row_base, win_bits, cb_bits,
+                ov_bits, rounds, probe_small, vm, steps, L, R_real,
+            )
         if out == "starved" and steps < hard_steps:
             steps = hard_steps
             continue
         break
     if isinstance(out, str):
         return _fallback(out)
+    ent = _learned_steps.setdefault(lkey, [0, 0])
+    ent[0] = max(steps, ent[0])
     v_of, k_of, f_start, f_slot, nblk = out
 
     # ---- final authoritative decode (all frames, one dispatch) ---------
@@ -755,24 +796,33 @@ def _speculative_core_batch(
     nrows = F * total_blocks
 
     # A span runs from sigma_r (within the first ov bytes of chunk r) to
-    # sigma_{r+1} -- up to the FULL window, not just cb bytes.
+    # sigma_{r+1} -- up to the FULL window, not just cb bytes.  A bound
+    # the ladder had to raise is sticky (per plan + chunk size): later
+    # batches of the stream pay ONE final dispatch, not the ladder.
     fsteps = int(win * 8 * 2 // 9 + 96 + 63) // 64 * 64
     fhard = int(win * 8 + 66 + 63) // 64 * 64
-    while True:
-        coeffs, dc_final, fstarved = _final_decode(
-            plan, jwords,
-            jnp.asarray(frame_row_base.astype(np.int32)),
-            jnp.asarray(win_bits.astype(np.int32)),
-            jnp.asarray(f_start.astype(np.int32)),
-            jnp.asarray(f_slot.astype(np.int32)),
-            jnp.asarray(g0_within.astype(np.int32)),
-            jnp.asarray(nblk.astype(np.int32)), fsteps, nrows, chain,
-        )
-        if not bool(np.asarray(fstarved)) or fsteps >= fhard:
-            break
-        fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+    if learned is not None:
+        fsteps = max(fsteps, learned[1])
+    fsteps = min(fsteps, fhard)
+    with default_metrics.stage("speculative.final"):
+        while True:
+            coeffs, dc_final, fstarved = _final_decode(
+                plan, jwords,
+                jnp.asarray(frame_row_base.astype(np.int32)),
+                jnp.asarray(win_bits.astype(np.int32)),
+                jnp.asarray(f_start.astype(np.int32)),
+                jnp.asarray(f_slot.astype(np.int32)),
+                jnp.asarray(g0_within.astype(np.int32)),
+                jnp.asarray(nblk.astype(np.int32)), fsteps, nrows, chain,
+            )
+            if not bool(np.asarray(fstarved)) or fsteps >= fhard:
+                break
+            default_metrics.count("speculative.final_retries")
+            fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+    ent[1] = max(fsteps, ent[1])
 
     # ---- DC prefix over chunk rows (device, per frame) -----------------
+    t_dcprep = time.perf_counter()
     lane_row = np.zeros(nrows, np.int32)
     comp_row = np.zeros(nrows, np.int32)
     mask_row = np.zeros(nrows, np.int32)
@@ -804,6 +854,9 @@ def _speculative_core_batch(
     frame_first[:R_real] = np.repeat(
         row_base[:-1], np.diff(row_base).astype(np.int64)
     ).astype(np.int32)
+    s = default_metrics.stages["speculative.dcfix_prep"]
+    s.calls += 1
+    s.total_s += time.perf_counter() - t_dcprep
     coeffs = _dc_fixup(
         coeffs, dc_final, jnp.asarray(frame_first),
         jnp.asarray(lane_row), jnp.asarray(comp_row),
@@ -816,11 +869,14 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
              rounds, probe, vm, steps, L, R_real=None):
     """Host authority chain over the device link results.
 
-    Returns (v_of, k_of, f_start, f_slot, nblk) on success, or a string
-    reason for fallback ("starved" asks the caller to retry the whole
-    probe at the hard step bound).  Rows past ``R_real`` are shape
-    padding (no frame, zero window): excluded from the convergence
-    check, zero blocks in the final decode."""
+    ``probe`` is the SMALL-shape re-probe: probe(rows, sbit, sslot, nb,
+    vm, steps) -> (res [len(rows), 7] host, vm) dispatching only the
+    failed rows (padded to a 128-row bucket) against the shared
+    device-resident maps.  Returns (v_of, k_of, f_start, f_slot, nblk)
+    on success, or a string reason for fallback ("starved" asks the
+    caller to retry the whole probe at the hard step bound).  Rows past
+    ``R_real`` are shape padding (no frame, zero window): excluded from
+    the convergence check, zero blocks in the final decode."""
     if R_real is None:
         R_real = R
     v_of = np.full(R, -1, np.int64)  # authoritative variant (bpm = reprobe)
@@ -895,23 +951,21 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
                 continue
             return f"round {rnd}: no progress"
         # Batched re-probe of all failed rows from their true states
-        # (variant slot 0), against the SAME device maps.
+        # (variant slot 0), against the SAME device maps -- a SMALL
+        # padded dispatch over just the failed rows, not all L lanes.
         from ..utils.metrics import default_metrics
 
         default_metrics.count("speculative.reprobe_rounds")
         default_metrics.count("speculative.link_misses", len(failed))
-        sbit = np.zeros(L, np.int32)
-        sslot = np.zeros(L, np.int32)
-        nb = np.zeros(L, np.int32)
-        for row, (rel2, slot0) in failed.items():
-            ln = row * bpm
-            sbit[ln] = rel2
-            sslot[ln] = slot0
-            nb[ln] = int(win_bits[row])
-        res2_d, vm = probe(sbit, sslot, nb, vm, steps)
-        res2_h = np.asarray(res2_d)
-        for row in failed:
-            lane_res[row * bpm] = res2_h[row * bpm]
+        rows_list = sorted(failed)
+        sbit = np.array([failed[r][0] for r in rows_list], np.int32)
+        sslot = np.array([failed[r][1] for r in rows_list], np.int32)
+        nb = np.array(
+            [int(win_bits[r]) for r in rows_list], np.int32
+        )
+        res2_h, vm = probe(rows_list, sbit, sslot, nb, vm, steps)
+        for i, row in enumerate(rows_list):
+            lane_res[row * bpm] = res2_h[i]
     return "unresolved after rounds"
 
 

@@ -76,9 +76,13 @@ def main():
         print("\n".join(lines), file=sys.stderr)
 
     # batched: 8 frames, one probe/match + one final
+    from jpeg_tpu.utils.metrics import default_metrics
+
     parts = [data] * 8
     for rep in range(3):
         T.clear()
+        default_metrics.stages.clear()
+        default_metrics.counters.clear()
         t0 = time.perf_counter()
         px = decode_stream_rstless(parts)
         np.asarray(px[:, :2, :2]).sum()  # sync without the big download
@@ -90,6 +94,9 @@ def main():
             lines.append(f"  {k}: {len(v)} calls, {sum(v)*1e3:.0f} ms")
             acct += sum(v)
         lines.append(f"  unaccounted: {(total-acct)*1e3:.0f} ms")
+        lines.append("  -- internal stages --")
+        for line in default_metrics.report().splitlines():
+            lines.append(f"  {line}")
         print("\n".join(lines), file=sys.stderr)
 
 
