@@ -390,11 +390,12 @@ def _refill_arg(plan, words, row_of_lane, chain: bool, reps: int = 1):
 
 
 @partial(jax.jit, static_argnames=("plan", "max_steps", "chain", "s_rows",
-                                   "ov_bits", "cb_bits", "reps"))
+                                   "ov_bits", "cb_bits", "reps",
+                                   "write_vm"))
 def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
                  nbits, start_bit, start_slot, vm_in, max_steps: int,
                  chain: bool, s_rows: int, ov_bits: int, cb_bits: int,
-                 reps: int = 1):
+                 reps: int = 1, write_vm: bool = True):
     """Probe + record compaction + device link-match in ONE dispatch.
 
     Returns (res [L, 7] int32, vm [s_rows * ov_bits]).  res columns:
@@ -449,15 +450,24 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
     slot_f = (recs - 1) & 15
 
     # ---- membership maps: HEAD records -> vm[own_row, bit] -------------
-    is_head = (keys >= TCAP) & (keys < TCAP + HCAP)
-    head_idx = keys - TCAP  # head records are the lane's first records,
-    #                          so head ordinal == blk ordinal
-    payload = ((head_idx << 8) | (variant[:, None] << 4) | slot_f) + 1
-    own = row_of_lane[:, None] * ov_bits + jnp.clip(bit_f, 0, ov_bits - 1)
-    oob = s_rows * ov_bits
-    vm = vm_in.at[jnp.where(is_head, own, oob).reshape(-1)].max(
-        jnp.where(is_head, payload, 0).reshape(-1), mode="drop"
-    )
+    # Re-probe dispatches pass write_vm=False: a re-probe lane's incoming
+    # edge is already resolved (its start IS a true boundary), and mixing
+    # its variant-0-tagged records into maps that also hold the original
+    # variant-0 lane's records would make match payloads ambiguous.
+    if write_vm:
+        is_head = (keys >= TCAP) & (keys < TCAP + HCAP)
+        head_idx = keys - TCAP  # head records are the lane's first
+        #                          records, so head ordinal == blk ordinal
+        payload = ((head_idx << 8) | (variant[:, None] << 4) | slot_f) + 1
+        own = row_of_lane[:, None] * ov_bits + jnp.clip(
+            bit_f, 0, ov_bits - 1
+        )
+        oob = s_rows * ov_bits
+        vm = vm_in.at[jnp.where(is_head, own, oob).reshape(-1)].max(
+            jnp.where(is_head, payload, 0).reshape(-1), mode="drop"
+        )
+    else:
+        vm = vm_in
 
     # ---- tail walk: first tail record present in the successor map -----
     # Sorted keys put every tail record in the leading TCAP columns, so
@@ -749,7 +759,7 @@ def _speculative_core_batch(
             jnp.asarray(succ2), jnp.zeros(pad, jnp.int32),
             jnp.asarray(arr[2]), jnp.asarray(arr[0]),
             jnp.asarray(arr[1]), vm, st, chain, R,
-            ov_bits, cb_bits, reps=1,
+            ov_bits, cb_bits, reps=1, write_vm=False,
         )
         return np.asarray(res2)[:L2], vm
 
@@ -889,13 +899,28 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
     for f in range(F):
         v_of[row_base[f]] = 0  # chunk 0 starts at the true origin
 
-    lane_res = res_h.copy()
+    lane_res = res_h  # original probe records (never mutated)
+    # Re-probe truths live in a SIDE store: overwriting lane slot 0
+    # would desynchronize it from vm entries that still reference the
+    # original variant-0 lane's ordinals.
+    reres: Dict[int, np.ndarray] = {}
 
-    def lane_of(r):
-        return r * bpm + (int(v_of[r]) if v_of[r] < bpm else 0)
+    _nores = np.zeros(7, res_h.dtype)  # missing re-probe -> walk falls
+    #                                      back via "no tail boundary"
+
+    def rec_of(r):
+        v = int(v_of[r])
+        return reres.get(r, _nores) if v >= bpm else lane_res[r * bpm + v]
+
+    from ..utils.metrics import default_metrics
 
     for rnd in range(rounds):
         failed: Dict[int, Tuple[int, int]] = {}
+        # row -> (sig, pay) the walk CONTINUED past on a majority vote of
+        # the row's converged variant lanes; verified against the row's
+        # re-probe at round end (several links repair per round instead
+        # of one per frame).
+        pending: Dict[int, Tuple[int, int]] = {}
         for f in range(F):
             r0, r1 = int(row_base[f]), int(row_base[f + 1])
             r = r0
@@ -905,17 +930,17 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
                 if v_of[r + 1] >= 0:
                     r += 1
                     continue
-                ln = lane_of(r)
-                if lane_res[ln, R_ALIVE]:
+                rec = rec_of(r)
+                if rec[R_ALIVE]:
                     # the authoritative lane starved: its records are
                     # incomplete -- retry the whole probe bigger
                     return "starved"
-                sigp = int(lane_res[ln, R_SIG])
+                sigp = int(rec[R_SIG])
                 if sigp > 0:
-                    nblk[r] = int(lane_res[ln, R_M]) - k_of[r]
+                    nblk[r] = int(rec[R_M]) - k_of[r]
                     f_start[r + 1] = (sigp - 1) >> 4
                     f_slot[r + 1] = (sigp - 1) & 15
-                    pay = int(lane_res[ln, R_PAY])
+                    pay = int(rec[R_PAY])
                     k_of[r + 1] = pay >> 8
                     v_of[r + 1] = (pay >> 4) & 15
                     r += 1
@@ -923,27 +948,49 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
                 # Link miss: hand off at the earliest authoritative
                 # boundary inside chunk r+1 (tail record 0) and
                 # re-probe r+1 from that true state.
-                t0 = int(lane_res[ln, R_TAIL0])
+                t0 = int(rec[R_TAIL0])
                 if t0 <= 0:
                     return f"no tail boundary at row {r}"
                 rel2 = ((t0 - 1) >> 4) - cb_bits
                 if rel2 < 0 or rel2 >= int(win_bits[r + 1]):
                     return f"handoff out of window at row {r}"
-                nblk[r] = int(lane_res[ln, R_PRET]) - k_of[r]
+                nblk[r] = int(rec[R_PRET]) - k_of[r]
                 f_start[r + 1] = rel2
                 f_slot[r + 1] = (t0 - 1) & 15
                 k_of[r + 1] = 0
                 v_of[r + 1] = bpm  # sentinel: authority via reprobe lane
                 failed[r + 1] = (rel2, (t0 - 1) & 15)
+                # Optimistic continuation: variant lanes that converged
+                # before the sync strip carry the TRUE trajectory's strip
+                # records, so their (sig, pay) link into r+2 is correct.
+                # Take the majority among converged variants and keep
+                # walking; the re-probe verifies at round end and a
+                # mispredict invalidates this frame's downstream rows.
+                if r + 1 < r1 - 1:
+                    votes: Dict[Tuple[int, int], int] = {}
+                    for v in range(bpm):
+                        lr = lane_res[(r + 1) * bpm + v]
+                        if lr[R_SIG] > 0 and not lr[R_ALIVE]:
+                            key2 = (int(lr[R_SIG]), int(lr[R_PAY]))
+                            votes[key2] = votes.get(key2, 0) + 1
+                    if votes:
+                        sig2, pay2 = max(votes.items(), key=lambda kv: kv[1])[0]
+                        pending[r + 1] = (sig2, pay2)
+                        f_start[r + 2] = (sig2 - 1) >> 4
+                        f_slot[r + 2] = (sig2 - 1) & 15
+                        k_of[r + 2] = pay2 >> 8
+                        v_of[r + 2] = (pay2 >> 4) & 15
+                        r += 2
+                        continue
                 break
             # last chunk of the frame: span to stream end
             if v_of[r1 - 1] >= 0 and nblk[r1 - 1] < 0 and (
                 (r1 - 1) not in failed
             ):
-                ln = lane_of(r1 - 1)
-                if lane_res[ln, R_ALIVE]:
+                rec = rec_of(r1 - 1)
+                if rec[R_ALIVE]:
                     return "starved"
-                nblk[r1 - 1] = int(lane_res[ln, R_BLK]) - k_of[r1 - 1]
+                nblk[r1 - 1] = int(rec[R_BLK]) - k_of[r1 - 1]
         if (v_of >= 0).all() and (nblk >= 0).all():
             return v_of, k_of, f_start, f_slot, nblk
         if not failed:
@@ -953,8 +1000,6 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
         # Batched re-probe of all failed rows from their true states
         # (variant slot 0), against the SAME device maps -- a SMALL
         # padded dispatch over just the failed rows, not all L lanes.
-        from ..utils.metrics import default_metrics
-
         default_metrics.count("speculative.reprobe_rounds")
         default_metrics.count("speculative.link_misses", len(failed))
         rows_list = sorted(failed)
@@ -965,7 +1010,24 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
         )
         res2_h, vm = probe(rows_list, sbit, sslot, nb, vm, steps)
         for i, row in enumerate(rows_list):
-            lane_res[row * bpm] = res2_h[i]
+            reres[row] = res2_h[i]
+            exp = pending.get(row)
+            if exp is None or v_of[row] != bpm:
+                continue  # not continued past, or already invalidated
+            got = (int(res2_h[i][R_SIG]), int(res2_h[i][R_PAY]))
+            if got == exp:
+                # verified: the true lane's matched-tail ordinal is the
+                # row's block count (handoff rows have k_of == 0)
+                nblk[row] = int(res2_h[i][R_M]) - k_of[row]
+            else:
+                # mispredicted continuation: every value this frame
+                # derived past `row` is suspect -- clear and re-walk
+                # from the (now true) lane_res next round.
+                default_metrics.count("speculative.optimistic_mispredicts")
+                fi = int(np.searchsorted(row_base, row, side="right")) - 1
+                r1 = int(row_base[fi + 1])
+                v_of[row + 1 : r1] = -1
+                nblk[row + 1 : r1] = -1
     return "unresolved after rounds"
 
 

@@ -495,8 +495,13 @@ class DeviceDecoder:
         S = frames * spf
         pred = np.repeat(self.lane_steps[self.sort_order], frames)
         cuts = [S]
-        for d in (2, 4, 16):
-            n = max(128, S // d // 128 * 128)
+        # Geometric cut ladder: photographic per-segment symbol counts
+        # are TIGHT (p50~152, p95~165 on the bench stream), so the waste
+        # is prediction slack, not tail lanes -- many shallow cuts at a
+        # fine quantum track the sorted curve closely (host-measured
+        # attempts ratio 1.50 -> 1.14 with the tightened learner).
+        for d in np.unique(np.geomspace(1.2, 120, 24).astype(int)):
+            n = max(128, S // int(d) // 128 * 128)
             if n < cuts[-1]:
                 cuts.append(n)
         bounds = []
@@ -508,9 +513,9 @@ class DeviceDecoder:
                 # the learned max (pred may legitimately exceed the
                 # optimistic classic estimate)
                 b = max(max_steps, int(pred[0]) + 32)
-            # 32-step quanta: fine enough to track the lane spread, few
+            # 8-step quanta: fine enough to hug the lane spread, few
             # enough values that the schedule (a static jit key) settles
-            bounds.append(max(64, (b + 31) // 32 * 32))
+            bounds.append(max(64, (b + 7) // 8 * 8))
         bounds = list(np.maximum.accumulate(bounds))
         phases = []
         acc = 0
@@ -526,7 +531,12 @@ class DeviceDecoder:
         prediction (content is spatially stable across frames of a
         stream, so segment position k's cost repeats)."""
         per_seg = nsteps.reshape(frames, self.segs_per_frame).max(axis=0)
-        pred = (per_seg * 1.15).astype(np.int64) + 16
+        # Tight slack: +4 steps, no multiplier.  The old x1.15+16 margin
+        # alone cost a 1.35x attempts ratio; content drifting past the
+        # bound is caught by the starvation flag and the chunk redoes
+        # classically WITH learning (max-fold), so mispredictions cost
+        # one retrace, not correctness.
+        pred = per_seg.astype(np.int64) + 4
         if self.lane_steps is not None:
             pred = np.maximum(pred, self.lane_steps)
         self.lane_steps = pred
