@@ -541,13 +541,13 @@ def encode_scan_device2(
     jax.jit,
     static_argnames=(
         "n_segments", "words_per_seg", "icap", "nz_cap", "wpb_cap",
-        "with_hist",
+        "with_hist", "phases", "with_nsym_hist",
     ),
 )
 def encode_scan_device3(
     zz,  # [B, 64] int32 zig-zag blocks, DC already differential; row order
     #      is arbitrary ("natural") -- `order` gives the bitstream order
-    dc_tab,  # [B] int32, NATURAL order (unlike v2's bitstream order)
+    dc_tab,  # [B] int32, NATURAL order (unlike v2's dc_tab in bitstream order)
     ac_tab,  # [B] int32, natural order
     ehufco,  # [T, 256] int32
     ehufsi,  # [T, 256] int32
@@ -559,6 +559,16 @@ def encode_scan_device3(
     nz_cap: int = 16,  # static per-block nonzero-AC cap (sticky)
     wpb_cap: int = 2,  # compact-word capacity per block (sticky)
     with_hist: bool = False,
+    phases: tuple = (),  # ((rows_0=B, slots_0), (rows_1, slots_1), ...)
+    #   static slot-scan NARROWING schedule: blocks sort by n_sym
+    #   DESCENDING on device, phase p runs slots_p AC slots over the
+    #   first rows_p sorted blocks (rows strictly decreasing), so the
+    #   per-slot [B]-shaped work tracks the true symbol count instead
+    #   of B x icap -- the encode mirror of the decode lane narrowing
+    #   (lockstep_jax._scan_lanes_phased).  () = flat icap slots.
+    with_nsym_hist: bool = False,  # append a [70] histogram of n_sym
+    #   (bin 69 = ">=69") so drivers can LEARN a phase schedule from
+    #   the first chunk of a stream
 ):
     """Block-lane generator entropy encode (v3).
 
@@ -649,7 +659,11 @@ def encode_scan_device3(
     tbl = jnp.concatenate([lo_t, hi_t, si_t], axis=1)  # [256, 3T]
     iota256 = jnp.arange(256, dtype=i32)[None, :]
     iota_nz = jnp.arange(nz_cap, dtype=i32)[None, :]
-    wb_cap = icap + 2
+    # Words-per-block buffer: each slot emits <=32 bits, so the buffer
+    # must track the TOTAL slot budget -- which under a phased schedule
+    # is 1 + sum(slots), independent of (and possibly above) icap.
+    n_slots = (1 + sum(t for _, t in phases)) if phases else icap
+    wb_cap = n_slots + 2
     iota_wb = jnp.arange(wb_cap, dtype=i32)[None, :]
 
     # ---- generator: lax.scan over item slots (unrolled x8) -------------
@@ -712,47 +726,118 @@ def encode_scan_device3(
         wcnt = wcnt + complete.astype(i32)
         return (acc0, acc1, nbf, wcnt, words_blk, missing, hist)
 
-    state = (
-        zu, zu, z, z,
-        jnp.zeros((B, wb_cap), u32),
-        jnp.zeros((), jnp.bool_),
-        hist0,
-    )
-    # slot 0: the DC item (always valid; every block has one)
-    state = emit(dcat, dcat, dext, dc_tab, jnp.ones(B, jnp.bool_), state)
+    def make_ac_step(s_pay_p, n_nz_p, n_sym_p, ac_tab_p):
+        def ac_step(carry, j):
+            nzi, zc, state = carry
+            valid = j < n_sym_p
+            nzi_c = jnp.clip(nzi, 0, nz_cap - 1)
+            pay = jnp.where(iota_nz == nzi_c[:, None], s_pay_p, 0).sum(
+                axis=1, dtype=i32
+            )
+            nzrl_c = (pay >> 29) & 3
+            sym_c = (pay >> 21) & 0xFF
+            cat_c = (pay >> 16) & 0x1F
+            ext_c = pay & 0xFFFF
+            at_nz = nzi < n_nz_p
+            is_zrl = at_nz & (zc < nzrl_c)
+            is_sym = at_nz & ~is_zrl
+            sym = jnp.where(is_zrl, 0xF0, jnp.where(is_sym, sym_c, 0))
+            exl = jnp.where(is_sym, cat_c, 0)
+            exv = jnp.where(is_sym, ext_c, 0)
+            zc = jnp.where(
+                valid & is_zrl, zc + 1, jnp.where(valid & is_sym, 0, zc)
+            )
+            nzi = nzi + (valid & is_sym).astype(i32)
+            state = emit(sym, exl, exv, ac_tab_p, valid, state)
+            return (nzi, zc, state), None
 
-    def ac_step(carry, j):
-        nzi, zc, state = carry
-        valid = j < n_sym
-        nzi_c = jnp.clip(nzi, 0, nz_cap - 1)
-        pay = jnp.where(iota_nz == nzi_c[:, None], s_pay, 0).sum(
-            axis=1, dtype=i32
-        )
-        nzrl_c = (pay >> 29) & 3
-        sym_c = (pay >> 21) & 0xFF
-        cat_c = (pay >> 16) & 0x1F
-        ext_c = pay & 0xFFFF
-        at_nz = nzi < n_nz
-        is_zrl = at_nz & (zc < nzrl_c)
-        is_sym = at_nz & ~is_zrl
-        sym = jnp.where(is_zrl, 0xF0, jnp.where(is_sym, sym_c, 0))
-        exl = jnp.where(is_sym, cat_c, 0)
-        exv = jnp.where(is_sym, ext_c, 0)
-        zc = jnp.where(
-            valid & is_zrl, zc + 1, jnp.where(valid & is_sym, 0, zc)
-        )
-        nzi = nzi + (valid & is_sym).astype(i32)
-        state = emit(sym, exl, exv, ac_tab, valid, state)
-        return (nzi, zc, state), None
+        return ac_step
 
-    if icap > 1:
-        (_, _, state), _ = jax.lax.scan(
-            ac_step,
-            (z, z, state),
-            jnp.arange(1, icap, dtype=i32),
-            unroll=min(icap - 1, 8),
+    order_eff = order
+    ov0 = None
+    if phases:
+        if phases[0][0] != B:
+            raise ValueError("phases[0] rows must equal the block count")
+        # Sort blocks by n_sym DESCENDING (ties by row for determinism);
+        # every downstream per-block array lives in sorted space, and the
+        # bitstream order index absorbs the permutation for free.
+        iota_b = jnp.arange(B, dtype=i32)
+        neg_sorted, perm = jax.lax.sort(
+            ((-n_sym).astype(i32), iota_b), num_keys=1
         )
-    acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
+        nsym_sorted = -neg_sorted
+        rank = jnp.zeros(B, i32).at[perm].set(iota_b)
+        s_pay_s = jnp.take(s_pay, perm, axis=0)
+        n_nz_s = jnp.take(n_nz, perm)
+        ac_tab_s = jnp.take(ac_tab, perm)
+        order_eff = rank if order is None else jnp.take(rank, order)
+
+        state = (
+            zu, zu, z, z,
+            jnp.zeros((B, wb_cap), u32),
+            jnp.zeros((), jnp.bool_),
+            hist0,
+        )
+        state = emit(
+            jnp.take(dcat, perm), jnp.take(dcat, perm),
+            jnp.take(dext, perm), jnp.take(dc_tab, perm),
+            jnp.ones(B, jnp.bool_), state,
+        )
+        nzi, zc = z, z
+        retired = []  # (acc0, nbf, wcnt, words_blk) of rows done per phase
+        ov0 = jnp.asarray(False)
+        cap = 1  # slots consumed so far (DC)
+        prev_rows = B
+        for n_p, t_p in phases:
+            if n_p < prev_rows:
+                acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
+                retired.append(
+                    (acc0[n_p:], nbf[n_p:], wcnt[n_p:], words_blk[n_p:])
+                )
+                ov0 = ov0 | (nsym_sorted[n_p:prev_rows] > cap).any()
+                state = (
+                    acc0[:n_p], acc1[:n_p], nbf[:n_p], wcnt[:n_p],
+                    words_blk[:n_p], missing, hist,
+                )
+                nzi, zc = nzi[:n_p], zc[:n_p]
+                s_pay_s, n_nz_s, ac_tab_s = (
+                    s_pay_s[:n_p], n_nz_s[:n_p], ac_tab_s[:n_p]
+                )
+                prev_rows = n_p
+            if t_p > 0:
+                step = make_ac_step(
+                    s_pay_s, n_nz_s, nsym_sorted[:n_p], ac_tab_s
+                )
+                (nzi, zc, state), _ = jax.lax.scan(
+                    step, (nzi, zc, state),
+                    jnp.arange(cap, cap + t_p, dtype=i32),
+                    unroll=min(t_p, 8),
+                )
+            cap += t_p
+        acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
+        ov0 = ov0 | (nsym_sorted[:prev_rows] > cap).any()
+        parts = [(acc0, nbf, wcnt, words_blk)] + list(reversed(retired))
+        acc0 = jnp.concatenate([p[0] for p in parts])
+        nbf = jnp.concatenate([p[1] for p in parts])
+        wcnt = jnp.concatenate([p[2] for p in parts])
+        words_blk = jnp.concatenate([p[3] for p in parts])
+    else:
+        state = (
+            zu, zu, z, z,
+            jnp.zeros((B, wb_cap), u32),
+            jnp.zeros((), jnp.bool_),
+            hist0,
+        )
+        # slot 0: the DC item (always valid; every block has one)
+        state = emit(dcat, dcat, dext, dc_tab, jnp.ones(B, jnp.bool_), state)
+        if icap > 1:
+            (_, _, state), _ = jax.lax.scan(
+                make_ac_step(s_pay, n_nz, n_sym, ac_tab),
+                (z, z, state),
+                jnp.arange(1, icap, dtype=i32),
+                unroll=min(icap - 1, 8),
+            )
+        acc0, acc1, nbf, wcnt, words_blk, missing, hist = state
 
     has_tail = nbf > 0
     words_blk = jnp.where(
@@ -764,12 +849,12 @@ def encode_scan_device3(
     blk_bits = 32 * wcnt + nbf  # [B] natural
 
     # ---- segment offsets (bitstream order) -----------------------------
-    if order is None:
+    if order_eff is None:
         bits_v, nwords_v, nat_of = blk_bits, n_words, None
     else:
-        bits_v = jnp.take(blk_bits, order)
-        nwords_v = jnp.take(n_words, order)
-        nat_of = order
+        bits_v = jnp.take(blk_bits, order_eff)
+        nwords_v = jnp.take(n_words, order_eff)
+        nat_of = order_eff
     seg_bits = jax.ops.segment_sum(
         bits_v, seg_of_block, num_segments=n_segments
     )
@@ -815,16 +900,20 @@ def encode_scan_device3(
     flat = flat.at[idx + 1].add(lo, mode="drop")
     words = flat.reshape(n_segments, words_per_seg)
 
+    item_ov = ov0 if phases else (n_sym > icap).any()
     overflow = (
-        (n_sym > icap).any().astype(i32)
+        item_ov.astype(i32)
         | ((seg_bits > words_per_seg * 32).any().astype(i32) << 1)
         | ((w_total > w_cap).astype(i32) << 3)
     )
     if nz_cap < 63:
         overflow = overflow | ((n_nz > nz_cap).any().astype(i32) << 2)
+    ret = [words, seg_bits, overflow, missing]
     if with_hist:
-        return words, seg_bits, overflow, missing, hist.T.astype(i32)
-    return words, seg_bits, overflow, missing
+        ret.append(hist.T.astype(i32))
+    if with_nsym_hist:
+        ret.append(jnp.zeros(70, i32).at[jnp.clip(n_sym, 0, 69)].add(1))
+    return tuple(ret)
 
 
 def visit_zz_and_tables(planes, geom, info, tables, ri: int = 0):

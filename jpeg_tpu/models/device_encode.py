@@ -24,7 +24,7 @@ decoder.c:371-373), RST0..7 cycling (encoder.c write_ecs path).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -63,7 +63,7 @@ class _Shape:
     jax.jit,
     static_argnames=(
         "geom", "ri", "frames", "n_segments", "words_per_seg", "icap",
-        "nz_cap", "wpb_cap", "with_hist",
+        "nz_cap", "wpb_cap", "with_hist", "phases", "with_nsym_hist",
     ),
 )
 def _encode_device(
@@ -85,6 +85,8 @@ def _encode_device(
     nz_cap: int = 16,
     wpb_cap: int = 2,
     with_hist: bool = False,
+    phases: tuple = (),
+    with_nsym_hist: bool = False,
 ):
     f = pixels.shape[0]
     x = pixels.astype(jnp.float32)
@@ -154,6 +156,8 @@ def _encode_device(
         nz_cap=nz_cap,
         wpb_cap=wpb_cap,
         with_hist=with_hist,
+        phases=phases,
+        with_nsym_hist=with_nsym_hist,
     )
 
 
@@ -233,6 +237,11 @@ class DeviceEncoder:
     wpb_cap: int = 2  # sticky compact-words-per-block capacity
     tw_per_seg: int = 0  # sticky transfer-compaction words/segment (0=auto)
     table_keys: tuple = ()  # (class, id) per stacked code-table row
+    nsym_counts: Optional[np.ndarray] = None  # learned [70] histogram of
+    #   per-block symbol counts (first chunk of the stream); drives the
+    #   phased slot-scan schedule the way DeviceDecoder.lane_steps drives
+    #   the decode lane narrowing
+    _sched_cache: dict = dc_field(default_factory=dict)  # B -> phases
 
     @staticmethod
     def for_config(
@@ -425,9 +434,59 @@ class DeviceEncoder:
         ):
             return self._encode_batch_inner(pixels, frames, optimize, chunk)
 
+    def _slot_phases(self, frames: int) -> tuple:
+        """Phased slot-scan schedule for a ``frames``-frame chunk.
+
+        Built from the LEARNED per-block symbol-count histogram (first
+        chunk of the stream; content statistics repeat across frames):
+        geometric row cuts, each phase's cumulative slot budget = the
+        max n_sym among the rows it retires + slack.  The engine sorts
+        blocks by TRUE n_sym on device, so the schedule only has to
+        match the distribution, not per-block predictions; drift past a
+        budget trips overflow bit 0 and the chunk redoes flat while the
+        histogram relearns.  () until learned.
+        """
+        if self.nsym_counts is None:
+            return ()
+        B = frames * int(self.visit_src.size)
+        cached = self._sched_cache.get(B)
+        if cached is not None:
+            return cached
+        counts = np.asarray(self.nsym_counts, np.int64)
+        # desc_cum[k] = how many blocks have n_sym >= k
+        desc_cum = np.cumsum(counts[::-1])[::-1]
+        total = max(int(counts.sum()), 1)
+
+        def nsym_at(pos_frac: float) -> int:
+            # n_sym at descending rank floor(pos_frac * B)
+            target = pos_frac * total
+            ks = np.nonzero(desc_cum > target)[0]
+            return int(ks.max()) if ks.size else 1
+
+        rows = [B]
+        for d in (1.5, 2.2, 3.3, 5.0, 8.0, 14.0, 28.0, 64.0):
+            r = max(256, int(B / d) // 128 * 128)
+            if r < rows[-1]:
+                rows.append(r)
+        phases, prev_cap = [], 1
+        for i, r in enumerate(rows):
+            nxt = rows[i + 1] if i + 1 < len(rows) else 0
+            cap = min(68, max(nsym_at(nxt / B) + 2, prev_cap))
+            phases.append((r, cap - prev_cap))
+            prev_cap = cap
+        sched = tuple(phases)
+        self._sched_cache[B] = sched
+        return sched
+
     def _dispatch(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
-        """Queue one device encode (async) with the CURRENT capacities."""
-        return _encode_device(
+        """Queue one device encode (async) with the CURRENT capacities.
+
+        While the n_sym histogram is unlearned the dispatch runs flat
+        and asks for the histogram; the caller materializes it via
+        ``_learn_nsym`` (the first chunk's ``_run`` is synchronous)."""
+        want_nsym = self.nsym_counts is None
+        self._last_phased = not want_nsym and bool(self._slot_phases(frames))
+        res = _encode_device(
             jnp.asarray(pixels),
             jnp.asarray(self.qtables),
             jnp.asarray(self.visit_src),
@@ -446,12 +505,38 @@ class DeviceEncoder:
             self.nz_cap,
             self.wpb_cap,
             with_hist,
+            self._slot_phases(frames) if not want_nsym else (),
+            want_nsym,
         )
+        if want_nsym:
+            self._pending_nsym = res[-1]
+            res = res[:-1]
+        return res
+
+    def _learn_nsym(self) -> None:
+        """Fold a pending n_sym histogram into the learned schedule."""
+        pend = getattr(self, "_pending_nsym", None)
+        if pend is not None:
+            counts = np.asarray(pend)
+            if self.nsym_counts is None:
+                self.nsym_counts = counts
+                self._sched_cache.clear()
+            self._pending_nsym = None
 
     def _grow(self, code: int) -> bool:
         """Grow the sticky capacity the overflow code points at."""
         grew = False
-        if code & 0b0001 and self.items_per_block < 68:
+        if code & 0b0001 and getattr(self, "_last_phased", False):
+            # A phased chunk outran the learned budgets (content drift):
+            # drop the schedule and relearn from this chunk's flat redo
+            # instead of doubling icap.
+            from ..utils.metrics import default_metrics
+
+            default_metrics.count("device_encode.phase_relearns")
+            self.nsym_counts = None
+            self._sched_cache.clear()
+            grew = True
+        elif code & 0b0001 and self.items_per_block < 68:
             self.items_per_block = min(68, self.items_per_block * 2)
             grew = True
         if code & 0b0010 and self.words_per_seg < self.words_per_seg_max:
@@ -474,6 +559,8 @@ class DeviceEncoder:
         while True:
             res = self._dispatch(pixels, frames, ehufco, ehufsi, with_hist)
             code = int(res[2])
+            self._learn_nsym()  # n_sym is capacity-independent: the
+            #                      histogram is valid even on overflow
             if not code:
                 return res
             default_metrics.count("device_encode.cap_retries")

@@ -142,6 +142,34 @@ def test_device_encode_12bit_with_stream_tables():
         assert np.abs(dec.astype(int) - src.astype(int)).mean() < 64
 
 
+def test_device_encode_phased_schedule():
+    """Slot-scan narrowing: chunk 1 learns the n_sym histogram (flat),
+    chunk 2 runs the phased schedule; phased output must be BYTE-identical
+    to a flat encode of the same pixels, and content drift past the
+    learned budgets must relearn instead of corrupting."""
+    params = EncodeParams(h=2, v=2, quality=80, optimize=False,
+                          restart_interval=3, exact=False)
+    ppms = [make_ppm(96, 72, seed=160 + s) for s in range(4)]
+    pix = np.stack([read_pnm(p).data for p in ppms]).astype(np.uint8)
+    enc = DeviceEncoder.for_config(72, 96, 3, params)
+    enc.encode_batch(pix[:2])  # learns the histogram on a flat pass
+    assert enc.nsym_counts is not None
+    assert enc._slot_phases(2), "learned schedule should be non-trivial"
+    phased = enc.encode_batch(pix[2:])
+    assert enc._last_phased
+    flat = DeviceEncoder.for_config(72, 96, 3, params).encode_batch(pix[2:])
+    assert [bytes(a) for a in phased] == [bytes(a) for a in flat]
+    for o in phased:
+        assert ref_decode(o) == jpeg_tpu.decode_jpeg(o).to_pnm()
+    # drift: a schedule far too tight must trip overflow bit 0, relearn,
+    # and still produce correct output via the flat redo
+    enc.nsym_counts = np.zeros(70, np.int64)
+    enc.nsym_counts[1] = 1000  # claims every block is DC+EOB only
+    enc._sched_cache.clear()
+    redo = enc.encode_batch(pix[2:])
+    assert [bytes(a) for a in redo] == [bytes(a) for a in flat]
+
+
 def test_device_encode_two_pass_optimize():
     """optimize=True: on-device histogram (MXU dry pass) + per-batch K.2
     tables.  Output must be smaller than the default tables, decode on
