@@ -55,7 +55,6 @@ unresolvable falls back to the serial oracle (counted in metrics).
 from __future__ import annotations
 
 import os
-import time
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -516,16 +515,18 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
 
 @partial(jax.jit, static_argnames=("plan", "max_steps", "nrows", "chain"))
 def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
-                  start_bit, start_slot, g0, nblk, max_steps: int,
-                  nrows: int, chain: bool):
+                  start_bit, start_slot, g0, nblk, frame_first,
+                  max_steps: int, nrows: int, chain: bool):
     """Authoritative re-decode: chunk row i emits its nblk[i] blocks; the
     within-frame block ordinal g0[i]+blk resolves to the PLANE row (the
     decoder.c:319-358 block walk, same affine form as
     lockstep_jax._place_emissions) and frame_row_base[i] lifts it into
-    the batch's concatenated-planes buffer [nrows, 64].  DC values are
-    lane-local cumulative; the caller adds the per-lane per-component
-    prefix (decoder.c:350-355 chain).  Returns (coeffs [nrows, 64],
-    dc_final [C, R], starved)."""
+    the batch's concatenated-planes buffer [nrows, 64].  DC emissions are
+    lane-local cumulative; the cross-chunk per-component DC prefix
+    (decoder.c:350-355 chain, reset at each frame's first chunk row via
+    ``frame_first``) folds in HERE, per emission, before the single
+    placement scatter -- no host inverse block->lane map, no second
+    dispatch.  Returns (coeffs [nrows, 64], starved)."""
     R = words.shape[0]
     hv_cols, iota_hv = _hv_consts(plan)
     if chain:
@@ -583,32 +584,28 @@ def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
     flat = jnp.where(
         good, (frame_row_base[None, :] + row) * 64 + pos, nrows * 64
     ).reshape(-1)
-    out = jnp.zeros(nrows * 64, jnp.int32)
-    # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
-    out = out.at[flat].set(em_val.reshape(-1), mode="drop")
+    # ---- fused DC prefix: dc_final[c, r] = lane r's last cumulative DC
+    # of component c; its per-frame exclusive prefix is each lane's
+    # incoming DC base.  Emissions carry lane-LOCAL cumulative DC, so
+    # adding base[comp, lane] to every pos==0 emission finishes the
+    # decoder.c:350-355 predictor chain without leaving the kernel.
     dc_final = jnp.stack(carry[5])  # [C, R]
-    starved = carry[1].any()
-    return out.reshape(nrows, 64), dc_final, starved
-
-
-@jax.jit
-def _dc_fixup(coeffs, dc_final, frame_first, lane_row, comp_row, mask_row):
-    """Add the cross-chunk DC prefix to each decoded block's DC slot.
-
-    ``frame_first[r]`` = the first chunk-row index of r's frame, so the
-    exclusive prefix of dc_final resets at frame boundaries (batched
-    Motion-JPEG form)."""
     csum = jnp.cumsum(dc_final, axis=1)
     base_g = csum - dc_final  # [C, R] exclusive global
     base0 = jnp.take_along_axis(
         base_g, jnp.broadcast_to(frame_first[None, :], base_g.shape), axis=1
     )
-    dc_base = base_g - base0  # per-frame exclusive prefix
-    R = dc_final.shape[1]
-    fix = jnp.take(
-        dc_base.reshape(-1), comp_row * R + lane_row, mode="clip"
-    ) * mask_row
-    return coeffs.at[:, 0].add(fix)
+    dc_base = base_g - base0  # [C, R] per-frame exclusive prefix
+    comp_e = slotc(plan.slot_comp.astype(np.int64))
+    fix = jnp.zeros_like(em_val)
+    for c in range(dc_final.shape[0]):
+        fix = jnp.where(comp_e == c, dc_base[c][None, :], fix)
+    em_val = jnp.where(good & (pos == 0), em_val + fix, em_val)
+    out = jnp.zeros(nrows * 64, jnp.int32)
+    # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
+    out = out.at[flat].set(em_val.reshape(-1), mode="drop")
+    starved = carry[1].any()
+    return out.reshape(nrows, 64), starved
 
 
 def _fallback(why: str = ""):
@@ -696,10 +693,10 @@ def _speculative_core_batch(
             wmat[r0 : r0 + S, :win] = view[:S]
             lo = np.arange(S, dtype=np.int64) * cb
             win_bits[r0 : r0 + S] = (np.minimum(lo + win, n) - lo) * 8
-        words = (
-            wmat.reshape(R, wn, 4).astype(np.uint32)
-            << np.array([24, 16, 8, 0])
-        ).sum(axis=2).astype(np.uint32)
+        # BE-u32 words via a dtype view: one vectorized byteswap pass
+        # (the shift/sum form cost ~14 ms/8-frame batch, 10x more under
+        # the box's contended phases).
+        words = wmat.view(">u4").astype(np.uint32)
 
     # Lanes: bpm phase variants per chunk row.
     L = R * bpm
@@ -814,64 +811,27 @@ def _speculative_core_batch(
     if learned is not None:
         fsteps = max(fsteps, learned[1])
     fsteps = min(fsteps, fhard)
+    frame_first = np.zeros(R, np.int32)
+    frame_first[:R_real] = np.repeat(
+        row_base[:-1], np.diff(row_base).astype(np.int64)
+    ).astype(np.int32)
     with default_metrics.stage("speculative.final"):
         while True:
-            coeffs, dc_final, fstarved = _final_decode(
+            coeffs, fstarved = _final_decode(
                 plan, jwords,
                 jnp.asarray(frame_row_base.astype(np.int32)),
                 jnp.asarray(win_bits.astype(np.int32)),
                 jnp.asarray(f_start.astype(np.int32)),
                 jnp.asarray(f_slot.astype(np.int32)),
                 jnp.asarray(g0_within.astype(np.int32)),
-                jnp.asarray(nblk.astype(np.int32)), fsteps, nrows, chain,
+                jnp.asarray(nblk.astype(np.int32)),
+                jnp.asarray(frame_first), fsteps, nrows, chain,
             )
             if not bool(np.asarray(fstarved)) or fsteps >= fhard:
                 break
             default_metrics.count("speculative.final_retries")
             fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
     ent[1] = max(fsteps, ent[1])
-
-    # ---- DC prefix over chunk rows (device, per frame) -----------------
-    t_dcprep = time.perf_counter()
-    lane_row = np.zeros(nrows, np.int32)
-    comp_row = np.zeros(nrows, np.int32)
-    mask_row = np.zeros(nrows, np.int32)
-    for f in range(F):
-        r0, r1 = int(row_base[f]), int(row_base[f + 1])
-        nu = n_use[f]
-        gi = np.arange(nu)
-        row_of = np.searchsorted(np.cumsum(nblk[r0:r1]), gi, side="right")
-        mcu = gi // bpm
-        slot = gi % bpm
-        comp = plan.slot_comp[slot]
-        if plan.interleaved:
-            my = mcu // plan.m_x
-            mx = mcu % plan.m_x
-            seq = (
-                (my * plan.slot_V[slot] + plan.slot_v[slot])
-                * plan.slot_bx[slot]
-                + mx * plan.slot_H[slot]
-                + plan.slot_h[slot]
-            )
-        else:
-            seq = mcu * bpm + plan.slot_h[slot]
-        ok = seq < plan.slot_nblocks[slot]
-        rows = f * total_blocks + plan.slot_plane_offset[slot] + seq
-        lane_row[rows[ok]] = r0 + row_of[ok]
-        comp_row[rows[ok]] = comp[ok]
-        mask_row[rows[ok]] = 1
-    frame_first = np.zeros(R, np.int32)
-    frame_first[:R_real] = np.repeat(
-        row_base[:-1], np.diff(row_base).astype(np.int64)
-    ).astype(np.int32)
-    s = default_metrics.stages["speculative.dcfix_prep"]
-    s.calls += 1
-    s.total_s += time.perf_counter() - t_dcprep
-    coeffs = _dc_fixup(
-        coeffs, dc_final, jnp.asarray(frame_first),
-        jnp.asarray(lane_row), jnp.asarray(comp_row),
-        jnp.asarray(mask_row),
-    )
     return coeffs, n_use
 
 

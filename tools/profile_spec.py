@@ -49,7 +49,6 @@ def main():
 
     spec._probe_match = timed("probe+match(jit+sync)", spec._probe_match)
     spec._final_decode = timed("final(jit+sync)", spec._final_decode)
-    spec._dc_fixup = timed("dc_fixup", spec._dc_fixup)
 
     # Wrap np.asarray on meta to catch the download: patch run_probe's
     # download by timing inside _speculative_core is invasive; instead
