@@ -513,6 +513,276 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
     return res, vm
 
 
+@partial(jax.jit, static_argnames=("bpm", "R"))
+def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
+                  frame_first, first_idx, last_idx, ov_bits, win_bits):
+    """Device fast-path authority resolve: the host _resolve's walk WITH
+    optimistic continuation, as data-parallel algebra.
+
+    Per chunk row the [bpm] link results form a variant -> successor-
+    variant transfer map; a SEGMENTED (per-frame) associative scan
+    composes the maps, so the whole authority chain -- a strictly
+    sequential pointer-chase on the host (the reference's implied serial
+    order, decoder.c:364-388) -- costs log2(R) gather-compose passes on
+    device.  A row whose authoritative lane has NO link continues
+    through the successor row's majority-vote lane (the host's
+    optimistic continuation): the handoff entry comes from the failed
+    lane's earliest strip boundary (tail0) and the successor becomes a
+    RECOVERY row, to be re-probed from the handoff state.  ``ovr`` is
+    the device analog of the host walk's ``reres`` side store: a [R, 10]
+    table of re-probed truths (valid, sig, m, pay, pret, tail0, alive,
+    blk, handoff_bit, handoff_slot); a valid override row's authority is
+    absolute -- its link applies to EVERY incoming token, which is what
+    lets the next round's scan walk past windows where no phase variant
+    converged at all.
+
+    Returns (status, f_start [R], f_slot [R], g0 [R], nblk [R],
+    frame_tot [F], rec [R, 3]): status = -1 on a fatal condition
+    (unresolvable handoff; use the host walk), else
+    (pending_rows << 16) | recovery_rows; rec rows are (is_recovery,
+    assumed_sig, assumed_pay).  All outputs are device-resident and
+    final once status == 0.
+    """
+    i32 = jnp.int32
+    sig = res[:, R_SIG].reshape(R, bpm)
+    m = res[:, R_M].reshape(R, bpm)
+    pay = res[:, R_PAY].reshape(R, bpm)
+    pret = res[:, R_PRET].reshape(R, bpm)
+    tail0 = res[:, R_TAIL0].reshape(R, bpm)
+    alive = res[:, R_ALIVE].reshape(R, bpm)
+    blk = res[:, R_BLK].reshape(R, bpm)
+    MISS = bpm  # absorbing "unresolved" token
+    ok = (sig > 0) & (alive == 0)
+
+    ovr_valid = ovr[:, 0] > 0
+    o_sig, o_m, o_pay, o_pret, o_tail0, o_alive, o_blk = (
+        ovr[:, i] for i in range(1, 8)
+    )
+    o_hbit, o_hslot = ovr[:, 8], ovr[:, 9]
+    o_ok = (o_sig > 0) & (o_alive == 0)
+
+    # Majority-vote fallback lane per row (host: votes among converged
+    # variants' (sig, pay); ties -> lowest variant).
+    votes = jnp.zeros((R, bpm), i32)
+    for w in range(bpm):
+        agree = (
+            ok & ok[:, w : w + 1]
+            & (sig == sig[:, w : w + 1]) & (pay == pay[:, w : w + 1])
+        )
+        votes = votes + agree.astype(i32)
+    votes = jnp.where(ok, votes, -1)
+    # argmax with lowest-variant tie-break
+    score = votes * bpm + (bpm - 1 - jnp.arange(bpm, dtype=i32))[None, :]
+    fb = jnp.argmax(score, axis=1).astype(i32)
+    has_fb = jnp.take_along_axis(ok, fb[:, None], axis=1)[:, 0]
+    fb = jnp.where(has_fb, fb, MISS)
+    # frame-LAST rows have no outgoing links (succ = -1), so a handoff
+    # into one cannot pick a linking lane; the re-probe supplies the
+    # whole result (host path: reres + R_BLK), so any token works
+    fb = jnp.where(is_last, 0, fb)
+    # a failed link at row r hands off to row r+1's fallback lane
+    fb_next = jnp.concatenate([fb[1:], jnp.full(1, MISS, i32)])
+
+    nxt = jnp.where(ok, (pay >> 4) & 15, fb_next[:, None]).astype(i32)
+    maps = jnp.concatenate(
+        [jnp.minimum(nxt, MISS), jnp.full((R, 1), MISS, i32)], axis=1
+    )
+    # override rows: authority absolute, same successor for every token
+    o_nxt = jnp.where(o_ok, (o_pay >> 4) & 15, fb_next).astype(i32)
+    maps = jnp.where(
+        ovr_valid[:, None], jnp.minimum(o_nxt, MISS)[:, None], maps
+    )
+    ident = jnp.broadcast_to(jnp.arange(bpm + 1, dtype=i32), (R, bpm + 1))
+    maps = jnp.where(real_row[:, None], maps, ident)
+
+    def combine(a, b):
+        fa, ma = a
+        fb_, mb = b
+        comp = jnp.take_along_axis(mb, jnp.clip(ma, 0, MISS), axis=-1)
+        return fa | fb_, jnp.where(fb_[:, None], mb, comp)
+
+    _, m_c = jax.lax.associative_scan(
+        combine, (is_first, maps), axis=0
+    )
+    # entry token of row r: composition f0..r-1 applied to token 0
+    # (chunk 0 of every frame starts at the true origin, variant 0)
+    tok0 = m_c[:, 0]
+    vtok = jnp.concatenate([jnp.zeros(1, i32), tok0[:-1]])
+    vtok = jnp.where(is_first, 0, vtok)
+
+    vc = jnp.clip(vtok, 0, bpm - 1)[:, None]
+
+    def pick(x, o_x):
+        return jnp.where(
+            ovr_valid, o_x, jnp.take_along_axis(x, vc, axis=1)[:, 0]
+        )
+
+    sig_t = pick(sig, o_sig)
+    m_t = pick(m, o_m)
+    pay_t = pick(pay, o_pay)
+    pret_t = pick(pret, o_pret)
+    tail0_t = pick(tail0, o_tail0)
+    alive_t = pick(alive, o_alive)
+    blk_t = pick(blk, o_blk)
+    link_ok = pick(ok.astype(i32), o_ok.astype(i32)) > 0
+    resolved = ovr_valid | (vtok < MISS)
+
+    prev = lambda x: jnp.concatenate(  # noqa: E731
+        [jnp.zeros(1, x.dtype), x[:-1]]
+    )
+    # recovery row: predecessor resolved but its link missed, and no
+    # re-probed truth yet
+    recov = (
+        real_row & ~is_first & ~ovr_valid
+        & prev(resolved) & ~prev(link_ok)
+    )
+    pending = real_row & ~is_first & ~resolved & ~recov
+    # handoff entry = predecessor's tail record 0, shifted into the
+    # successor window (its bit 0 sits cb bytes after the predecessor's)
+    cb_bits = win_bits - ov_bits
+    h_bit = ((prev(tail0_t) - 1) >> 4) - cb_bits
+    h_slot = (prev(tail0_t) - 1) & 15
+    fatal = recov & (
+        (prev(tail0_t) <= 0) | (h_bit < 0) | (h_bit >= ov_bits)
+    )
+    k_of = jnp.where(
+        is_first | recov | ovr_valid, 0, prev(pay_t) >> 8
+    )
+    f_start = jnp.where(
+        is_first, 0,
+        jnp.where(ovr_valid, o_hbit,
+                  jnp.where(recov, h_bit, (prev(sig_t) - 1) >> 4)),
+    )
+    f_slot = jnp.where(
+        is_first, 0,
+        jnp.where(ovr_valid, o_hslot,
+                  jnp.where(recov, h_slot, (prev(sig_t) - 1) & 15)),
+    )
+    # a row whose SUCCESSOR entered via handoff spans only to its own
+    # tail record 0 (the handoff state), not to a matched link
+    nxt_handoff = jnp.concatenate([(recov | ovr_valid)[1:],
+                                   jnp.zeros(1, bool)])
+    span_m = jnp.where(nxt_handoff, pret_t, m_t)
+    nblk = jnp.where(is_last, blk_t, span_m) - k_of
+    nblk = jnp.where(recov | pending, 0, nblk)
+    nblk = jnp.where(real_row, nblk, 0)
+    last_bad = is_last & real_row & ~recov & (alive_t != 0)
+    fatal_any = (
+        last_bad.any() | fatal.any()
+        | (real_row & resolved & ~recov & (nblk < 0)).any()
+    )
+    n_rec = recov.sum()
+    n_pend = pending.sum()
+    status = jnp.where(
+        fatal_any, -1, (n_pend << 16) | n_rec
+    ).astype(i32)
+    c = jnp.cumsum(nblk)
+    excl = c - nblk
+    g0 = excl - jnp.take(excl, frame_first)
+    tot = jnp.take(c, last_idx) - jnp.take(excl, first_idx)
+    assumed = recov & (vtok < MISS)
+    rec = jnp.stack(
+        [recov.astype(i32), jnp.where(assumed, sig_t, 0),
+         jnp.where(assumed, pay_t, 0)], axis=1
+    )
+    return (status, f_start.astype(i32), f_slot.astype(i32),
+            g0.astype(i32), nblk.astype(i32), tot, rec)
+
+
+def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
+              j_fidx, j_lidx, ov_bits, win_cap_bits, jwords, j_frb,
+              j_winbits, fsteps0, fhard, nrows, chain, probe_small, vm,
+              steps, is_last, total_blocks, win_bits, ent):
+    """Drive the device fast-path resolve end to end.
+
+    Clean batch: probe -> _resolve_fast -> final all dispatch async with
+    ONE host sync.  Link misses: download the small recovery table, ONE
+    batched re-probe round from the handoff states, fold the truths into
+    the override table, and re-run the (cheap) device resolve -- the
+    device mirror of the host walk's rounds.  Returns (coeffs, n_use) or
+    None to fall back to the host walk (fatal layout or a starved lane
+    -- the host path owns the step-bound retry ladder)."""
+    from ..utils.metrics import default_metrics
+
+    ovr_np = np.zeros((R, 10), np.int32)
+    fsteps = fsteps0
+    coeffs = fst = None
+    with default_metrics.stage("speculative.fast_resolve"):
+        for rnd in range(5):
+            (status_d, fs_d, fl_d, g0_d, nblk_d, tot_d,
+             rec_d) = _resolve_fast(
+                res_d, jnp.asarray(ovr_np), bpm, R, j_isf, j_isl, j_real,
+                j_frame_first, j_fidx, j_lidx, ov_bits, win_cap_bits,
+            )
+            if rnd == 0:
+                # Optimistic: dispatch the final before knowing the
+                # status -- wasted device time only when a recovery
+                # round is needed; saves one RTT on clean batches.
+                coeffs, fstarved_d = _final_decode(
+                    plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d,
+                    nblk_d, j_frame_first, fsteps, nrows, chain,
+                )
+                status, fst = jax.device_get((status_d, fstarved_d))
+                status, fst = int(status), bool(fst)
+            else:
+                status = int(np.asarray(status_d))
+            if status < 0:
+                return None
+            n_rec = status & 0xFFFF
+            if n_rec == 0:
+                if status >> 16:
+                    return None  # pending rows but nothing to re-probe
+                if rnd > 0:
+                    coeffs, fstarved_d = _final_decode(
+                        plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d,
+                        nblk_d, j_frame_first, fsteps, nrows, chain,
+                    )
+                    fst = bool(np.asarray(fstarved_d))
+                break
+            default_metrics.count("speculative.reprobe_rounds")
+            default_metrics.count("speculative.link_misses", n_rec)
+            rec = np.asarray(rec_d)
+            f_start_h = np.asarray(fs_d)
+            f_slot_h = np.asarray(fl_d)
+            rows_list = np.nonzero(rec[:, 0])[0]
+            sbit = f_start_h[rows_list].astype(np.int32)
+            sslot = f_slot_h[rows_list].astype(np.int32)
+            nb = win_bits[rows_list].astype(np.int32)
+            res2_h, vm = probe_small(rows_list, sbit, sslot, nb, vm, steps)
+            for i, row in enumerate(rows_list):
+                r2 = res2_h[i]
+                if r2[R_ALIVE]:
+                    return None  # starved re-probe: host ladder decides
+                if rec[row, 1] > 0 and not is_last[row] and (
+                    (int(r2[R_SIG]), int(r2[R_PAY]))
+                    != (int(rec[row, 1]), int(rec[row, 2]))
+                ):
+                    # the continuation guessed wrong; the override now
+                    # carries the truth and the next round re-walks
+                    # everything downstream of it
+                    default_metrics.count(
+                        "speculative.optimistic_mispredicts"
+                    )
+                ovr_np[row, 0] = 1
+                ovr_np[row, 1:8] = r2
+                ovr_np[row, 8] = sbit[i]
+                ovr_np[row, 9] = sslot[i]
+        else:
+            return None  # rounds exhausted; host walk takes over
+    while fst and fsteps < fhard:
+        default_metrics.count("speculative.final_retries")
+        fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+        coeffs, fstarved_d = _final_decode(
+            plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d, nblk_d,
+            j_frame_first, fsteps, nrows, chain,
+        )
+        fst = bool(np.asarray(fstarved_d))
+    ent[0] = max(steps, ent[0])
+    ent[1] = max(fsteps, ent[1])
+    n_use = [int(min(t, total_blocks)) for t in np.asarray(tot_d)]
+    return coeffs, n_use
+
+
 @partial(jax.jit, static_argnames=("plan", "max_steps", "nrows", "chain"))
 def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
                   start_bit, start_slot, g0, nblk, frame_first,
@@ -763,14 +1033,84 @@ def _speculative_core_batch(
     start_bit0 = np.zeros(L, np.int32)
     rounds = max_rounds or max(12, R // 2)
 
+    # ---- shared final-decode geometry (device fast path + host path) ---
+    frame_row_base = np.zeros(R, np.int64)
+    frame_row_base[:R_real] = np.repeat(
+        np.arange(F, dtype=np.int64) * total_blocks,
+        np.diff(row_base).astype(np.int64),
+    )
+    nrows = F * total_blocks
+    frame_first = np.zeros(R, np.int32)
+    frame_first[:R_real] = np.repeat(
+        row_base[:-1], np.diff(row_base).astype(np.int64)
+    ).astype(np.int32)
+    # A span runs from sigma_r (within the first ov bytes of chunk r) to
+    # sigma_{r+1} -- up to the FULL window, not just cb bytes.  A bound
+    # the ladder had to raise is sticky (per plan + chunk size): later
+    # batches of the stream pay ONE final dispatch, not the ladder.
+    fsteps0 = int(win * 8 * 2 // 9 + 96 + 63) // 64 * 64
+    fhard = int(win * 8 + 66 + 63) // 64 * 64
+    if learned is not None:
+        fsteps0 = max(fsteps0, learned[1])
+    fsteps0 = min(fsteps0, fhard)
+    j_frame_first = jnp.asarray(frame_first)
+    j_frb = jnp.asarray(frame_row_base.astype(np.int32))
+    j_winbits = jnp.asarray(win_bits.astype(np.int32))
+    ent = _learned_steps.setdefault(lkey, [0, 0])
+
+    def run_final(f_start, f_slot, g0, nblk):
+        """Final-decode retry ladder; args may live on device or host."""
+        fsteps = fsteps0
+        args = tuple(
+            x if isinstance(x, jnp.ndarray) else jnp.asarray(
+                np.asarray(x, np.int32))
+            for x in (f_start, f_slot, g0, nblk)
+        )
+        with default_metrics.stage("speculative.final"):
+            while True:
+                coeffs, fstarved = _final_decode(
+                    plan, jwords, j_frb, j_winbits, *args,
+                    j_frame_first, fsteps, nrows, chain,
+                )
+                if not bool(np.asarray(fstarved)) or fsteps >= fhard:
+                    break
+                default_metrics.count("speculative.final_retries")
+                fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+        ent[1] = max(fsteps, ent[1])
+        return coeffs
+
+    # Row-structure masks for the device fast-path resolve.
+    is_first = np.zeros(R, bool)
+    is_first[row_base[:-1]] = True
+    is_last = np.zeros(R, bool)
+    is_last[row_base[1:] - 1] = True
+    real_row = np.zeros(R, bool)
+    real_row[:R_real] = True
+    j_isf, j_isl, j_real = map(jnp.asarray, (is_first, is_last, real_row))
+    j_fidx = jnp.asarray(row_base[:-1].astype(np.int32))
+    j_lidx = jnp.asarray((row_base[1:] - 1).astype(np.int32))
+    use_fast = os.environ.get("JPEG_TPU_SPEC_HOST") != "1"
+
     for attempt in range(2):  # step-bound ladder for starved true lanes
         default_metrics.count("speculative.probe_dispatches")
         if attempt:
             default_metrics.count("speculative.hard_retries")
         vm = jnp.zeros(R * ov_bits, jnp.int32)
+        res_d, vm = probe(start_bit0, variant, nbits_l, vm, steps)
+
+        if use_fast:
+            out2 = _fast_try(
+                res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
+                j_fidx, j_lidx, ov_bits, cb_bits + ov_bits, jwords, j_frb,
+                j_winbits, fsteps0, fhard, nrows, chain, probe_small, vm,
+                steps, is_last, total_blocks, win_bits, ent,
+            )
+            if out2 is not None:
+                return out2
+            default_metrics.count("speculative.fast_misses")
+
         with default_metrics.stage("speculative.probe_sync"):
-            res_d, vm = probe(start_bit0, variant, nbits_l, vm, steps)
-            res_h = np.asarray(res_d)  # [L, 7] -- the ONLY bulk download
+            res_h = np.asarray(res_d)  # [L, 7] link-table download
 
         with default_metrics.stage("speculative.resolve"):
             out = _resolve(
@@ -783,11 +1123,9 @@ def _speculative_core_batch(
         break
     if isinstance(out, str):
         return _fallback(out)
-    ent = _learned_steps.setdefault(lkey, [0, 0])
     ent[0] = max(steps, ent[0])
     v_of, k_of, f_start, f_slot, nblk = out
 
-    # ---- final authoritative decode (all frames, one dispatch) ---------
     g0_within = np.zeros(R, np.int64)
     n_use = []
     for f in range(F):
@@ -795,43 +1133,7 @@ def _speculative_core_batch(
         c = np.cumsum(nblk[r0:r1]) - nblk[r0:r1]
         g0_within[r0:r1] = c
         n_use.append(int(min(c[-1] + nblk[r1 - 1], total_blocks)))
-    frame_row_base = np.zeros(R, np.int64)
-    frame_row_base[:R_real] = np.repeat(
-        np.arange(F, dtype=np.int64) * total_blocks,
-        np.diff(row_base).astype(np.int64),
-    )
-    nrows = F * total_blocks
-
-    # A span runs from sigma_r (within the first ov bytes of chunk r) to
-    # sigma_{r+1} -- up to the FULL window, not just cb bytes.  A bound
-    # the ladder had to raise is sticky (per plan + chunk size): later
-    # batches of the stream pay ONE final dispatch, not the ladder.
-    fsteps = int(win * 8 * 2 // 9 + 96 + 63) // 64 * 64
-    fhard = int(win * 8 + 66 + 63) // 64 * 64
-    if learned is not None:
-        fsteps = max(fsteps, learned[1])
-    fsteps = min(fsteps, fhard)
-    frame_first = np.zeros(R, np.int32)
-    frame_first[:R_real] = np.repeat(
-        row_base[:-1], np.diff(row_base).astype(np.int64)
-    ).astype(np.int32)
-    with default_metrics.stage("speculative.final"):
-        while True:
-            coeffs, fstarved = _final_decode(
-                plan, jwords,
-                jnp.asarray(frame_row_base.astype(np.int32)),
-                jnp.asarray(win_bits.astype(np.int32)),
-                jnp.asarray(f_start.astype(np.int32)),
-                jnp.asarray(f_slot.astype(np.int32)),
-                jnp.asarray(g0_within.astype(np.int32)),
-                jnp.asarray(nblk.astype(np.int32)),
-                jnp.asarray(frame_first), fsteps, nrows, chain,
-            )
-            if not bool(np.asarray(fstarved)) or fsteps >= fhard:
-                break
-            default_metrics.count("speculative.final_retries")
-            fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
-    ent[1] = max(fsteps, ent[1])
+    coeffs = run_final(f_start, f_slot, g0_within, nblk)
     return coeffs, n_use
 
 

@@ -227,3 +227,29 @@ def test_decode_frame_rstless_device_gray():
     want = jpeg_tpu.decode_jpeg(data, exact=False).pixels()
     assert px.shape == want.shape
     assert np.abs(px.astype(np.int32) - want).max() <= 1
+
+
+def test_fast_resolve_matches_host_walk(monkeypatch):
+    """The device fast-path resolve (associative-scan authority chain +
+    override rounds) must produce the SAME coefficients as the host walk
+    on the same stream, including when link misses force a recovery
+    round."""
+    import jpeg_tpu
+    from jpeg_tpu.models.device_decode import decode_stream_rstless
+    from jpeg_tpu.utils.metrics import default_metrics
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False)
+    parts = [
+        encode_jpeg(make_ppm(400, 300, seed=80 + i), params) for i in range(2)
+    ]
+    before = default_metrics.counters.get("speculative.fast_misses", 0)
+    fast = np.asarray(decode_stream_rstless(parts))
+    assert default_metrics.counters.get(
+        "speculative.fast_misses", 0
+    ) == before, "fast path fell back to the host walk"
+    monkeypatch.setenv("JPEG_TPU_SPEC_HOST", "1")
+    host = np.asarray(decode_stream_rstless(parts))
+    assert (fast == host).all()
+    for i, p in enumerate(parts):
+        want = jpeg_tpu.decode_jpeg(p, exact=False).pixels()
+        assert np.abs(fast[i].astype(np.int32) - want).max() <= 1, i
