@@ -87,6 +87,15 @@ R_SIG, R_M, R_PAY, R_PRET, R_TAIL0, R_ALIVE, R_BLK = range(7)
 # _cached_plan_of), so id() is a stable key for the process lifetime.
 _learned_steps: Dict[Tuple[int, int], list] = {}
 
+# Two-phase probe tuning: phase-A (merge-kill) step count and the sticky
+# per-(plan, chunk-bytes) survivor-roster width.  KILL_STEPS covers the
+# head region at junk rates (~1024 bits / ~3.5 bits-per-symbol) so merge
+# queries have settled; kb starts at 2 (measured mean survivors ~1.5-2.5
+# of bpm=6) and grows when a batch's recovery rows say the roster
+# dropped live trajectories wholesale.
+KILL_STEPS = 192
+_learned_kb: Dict[Tuple[int, int], int] = {}
+
 
 def _spec_step(plan: ScanPlan, consts, carry):
     """One Huffman symbol on every speculative lane.
@@ -104,7 +113,8 @@ def _spec_step(plan: ScanPlan, consts, carry):
     (refill, nbits, stop_bit, nblk_cap, cb_bits, ov_bits,
      hv_cols, iota_hv) = consts
     (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
-     w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail) = carry
+     w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail,
+     lh_rec, lh_blk) = carry
     T = plan.maxcode.shape[0]
     bpm = plan.blocks_per_mcu
 
@@ -133,6 +143,11 @@ def _spec_step(plan: ScanPlan, consts, carry):
     )
     rec_val = rec
     pre_tail = jnp.where(is_tail & (tail_i == 0), blk, pre_tail)
+    # last CAPPED head record + its block ordinal: the merge-kill query
+    # state (a state present in the vm map, so `p > mine` is decisive)
+    cap_head = is_head & (head_i < HCAP)
+    lh_rec = jnp.where(cap_head, rec, lh_rec)
+    lh_blk = jnp.where(cap_head, blk, lh_blk)
     tail_i = tail_i + is_tail
     head_i = head_i + is_head
 
@@ -241,7 +256,8 @@ def _spec_step(plan: ScanPlan, consts, carry):
         w1 = jnp.where(crossed, fetched, w1)
 
     carry = (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
-             w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail)
+             w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail,
+             lh_rec, lh_blk)
     return carry, (em_key, em_val, rec_key, rec_val)
 
 
@@ -250,14 +266,16 @@ INNER = 8  # symbol steps per matrix refill
 
 
 def _chain_scan(plan, consts, words_t, start_bit, start_slot, nbits,
-                max_steps: int):
+                max_steps: int, carry0=None):
     """Macro-step scan for chain mode: carry a 5-word (160-bit) window
     per lane and decode INNER symbols per refill, so the [wn, L] window
     matrix is read from HBM once per INNER steps instead of every step.
 
     Invariant: a symbol consumes <= 32 bits, so after a refill sets
     wbase = bitpos >> 5 (offset < 32), inner step k reads window words
-    <= k + 1 <= NW - 1.  Returns (final state carry, ys tuple of
+    <= k + 1 <= NW - 1.  ``carry0`` continues a previous scan's state
+    (two-phase probe); the window words re-fetch from THIS words_t.
+    Returns (final state carry, ys tuple of
     [ceil(max_steps/INNER)*INNER, L] arrays).
     """
     L = start_bit.shape[0]
@@ -271,13 +289,14 @@ def _chain_scan(plan, consts, words_t, start_bit, start_slot, nbits,
                 ws[jj] = jnp.where(wb + jj == r_i, row, ws[jj])
         return tuple(ws)
 
-    wb0 = start_bit >> 5
-    carry0 = (
-        start_bit, start_bit < nbits, z, start_slot, z,
-        tuple(z for _ in range(plan.n_comps)), z,
-        jnp.zeros(L, jnp.uint32), jnp.zeros(L, jnp.uint32),
-        z, z, z, z, z,
-    )
+    if carry0 is None:
+        carry0 = (
+            start_bit, start_bit < nbits, z, start_slot, z,
+            tuple(z for _ in range(plan.n_comps)), z,
+            jnp.zeros(L, jnp.uint32), jnp.zeros(L, jnp.uint32),
+            z, z, z, z, z, z, z,
+        )
+    wb0 = carry0[0] >> 5
 
     def macro(carry_all, _):
         carry, w5, wb = carry_all
@@ -354,6 +373,8 @@ def _init_carry(plan, refill, start_bit, start_slot, nbits):
         z,  # tail_i
         z,  # head_i
         z,  # pre_tail
+        z,  # lh_rec (last capped head record)
+        z,  # lh_blk (its block ordinal)
     )
 
 
@@ -388,53 +409,13 @@ def _refill_arg(plan, words, row_of_lane, chain: bool, reps: int = 1):
     return ("gather", words.reshape(-1), row_of_lane, words.shape[1])
 
 
-@partial(jax.jit, static_argnames=("plan", "max_steps", "chain", "s_rows",
-                                   "ov_bits", "cb_bits", "reps",
-                                   "write_vm"))
-def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
-                 nbits, start_bit, start_slot, vm_in, max_steps: int,
-                 chain: bool, s_rows: int, ov_bits: int, cb_bits: int,
-                 reps: int = 1, write_vm: bool = True):
-    """Probe + record compaction + device link-match in ONE dispatch.
+def _compact_records(rkey, rval):
+    """[steps, L] sparse per-step records -> per-lane [L, TCAP+HCAP].
 
-    Returns (res [L, 7] int32, vm [s_rows * ov_bits]).  res columns:
-    sig+1|0 (matched sync state, (rel2<<4|slot)), m (blk ordinal of the
-    matched tail record), payload (successor head ordinal/variant/slot),
-    pre_tail (blk ordinal of tail record 0), tail0 (its packed record),
-    alive (lane starved at scan end), blk_final (total blocks decoded).
-    ``vm_in`` lets re-probe rounds extend the existing membership maps.
-    """
-    L = start_bit.shape[0]
-    hv_cols, iota_hv = _hv_consts(plan)
-    if chain:
-        words_t = _lane_matrix(words, reps).T
-        consts = (("none",), nbits, nbits, jnp.int32(1 << 29),
-                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
-        carry, (_, _, rkey, rval) = _chain_scan(
-            plan, consts, words_t, start_bit, start_slot, nbits, max_steps
-        )
-    else:
-        refill = ("gather", words.reshape(-1), row_of_lane, words.shape[1])
-        consts = (refill, nbits, nbits, jnp.int32(1 << 29),
-                  jnp.int32(cb_bits), jnp.int32(ov_bits), hv_cols, iota_hv)
-        init = _init_carry(plan, refill, start_bit, start_slot, nbits)
-
-        def step(carry, _):
-            carry, (_, _, rk, rv) = _spec_step(plan, consts, carry)
-            return carry, (rk, rv)
-
-        carry, (rkey, rval) = jax.lax.scan(
-            step, init, None, length=max_steps, unroll=UNROLL
-        )
-        rkey, rval = rkey, rval
-    blk_final = carry[2]
-    alive = carry[1]
-    pre_tail = carry[13]
-
-    # ---- compact the sparse per-step records into [L, TCAP+HCAP] -------
-    # Keys are unique per lane (tail 0..TCAP-1, head TCAP..TCAP+HCAP-1)
-    # and ascend along the step axis, so ONE sort compacts both lists
-    # with tail records leading.
+    Keys are unique per lane (tail 0..TCAP-1, head TCAP..TCAP+HCAP-1)
+    and ascend along the step axis, so ONE sort compacts both lists
+    with tail records leading."""
+    L = rkey.shape[1]
     k_t = jnp.where(rval > 0, rkey, BIGKEY).T  # [L, steps]
     keys_s, recs_s = jax.lax.sort((k_t, rval.T), dimension=1, num_keys=1)
     take = min(TCAP + HCAP, recs_s.shape[1])
@@ -444,33 +425,35 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
     keys = jnp.full((L, TCAP + HCAP), BIGKEY, jnp.int32).at[:, :take].set(
         keys_s[:, :take]
     )
+    return keys, recs
 
+
+def _scatter_heads(vm_in, keys, recs, row_of_lane, variant, ov_bits,
+                   s_rows):
+    """HEAD records -> vm[own_row, bit] membership map (scatter-max).
+
+    Payload packs (head ordinal, variant, slot) + 1; head records are a
+    lane's first records, so head ordinal == blk ordinal."""
     bit_f = (recs - 1) >> 4
     slot_f = (recs - 1) & 15
+    is_head = (keys >= TCAP) & (keys < TCAP + HCAP)
+    head_idx = keys - TCAP
+    payload = ((head_idx << 8) | (variant[:, None] << 4) | slot_f) + 1
+    own = row_of_lane[:, None] * ov_bits + jnp.clip(bit_f, 0, ov_bits - 1)
+    oob = s_rows * ov_bits
+    return vm_in.at[jnp.where(is_head, own, oob).reshape(-1)].max(
+        jnp.where(is_head, payload, 0).reshape(-1), mode="drop"
+    )
 
-    # ---- membership maps: HEAD records -> vm[own_row, bit] -------------
-    # Re-probe dispatches pass write_vm=False: a re-probe lane's incoming
-    # edge is already resolved (its start IS a true boundary), and mixing
-    # its variant-0-tagged records into maps that also hold the original
-    # variant-0 lane's records would make match payloads ambiguous.
-    if write_vm:
-        is_head = (keys >= TCAP) & (keys < TCAP + HCAP)
-        head_idx = keys - TCAP  # head records are the lane's first
-        #                          records, so head ordinal == blk ordinal
-        payload = ((head_idx << 8) | (variant[:, None] << 4) | slot_f) + 1
-        own = row_of_lane[:, None] * ov_bits + jnp.clip(
-            bit_f, 0, ov_bits - 1
-        )
-        oob = s_rows * ov_bits
-        vm = vm_in.at[jnp.where(is_head, own, oob).reshape(-1)].max(
-            jnp.where(is_head, payload, 0).reshape(-1), mode="drop"
-        )
-    else:
-        vm = vm_in
 
-    # ---- tail walk: first tail record present in the successor map -----
-    # Sorted keys put every tail record in the leading TCAP columns, so
-    # the walk's vm gather touches only [L, TCAP] elements.
+def _tail_walk(keys, recs, vm, succ_row, pre_tail, cb_bits, ov_bits):
+    """First tail record present in the successor's membership map.
+
+    Sorted keys put every tail record in the leading TCAP columns, so
+    the walk's vm gather touches only [L, TCAP] elements.  Ordinals come
+    from the KEY, not the column index: a phase-B record list starts at
+    the carried tail index, so column i's ordinal is pre_tail + key_i.
+    Returns (found, sig, m, pay, tail0, pret)."""
     kT = keys[:, :TCAP]
     rT = recs[:, :TCAP]
     bit_t = (rT - 1) >> 4
@@ -495,21 +478,231 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
         return jnp.where(pick & hit, x, 0).sum(axis=1)
 
     sig = sel((rel2 << 4) | slot_t)
-    m = pre_tail + jnp.where(found, first, 0)
+    m = pre_tail + jnp.where(found, sel(kT), 0)
     pay = sel(look - 1)
-    tail0 = jnp.where(keys[:, 0] < TCAP, recs[:, 0], 0)
-    res = jnp.stack(
+    has_t0 = keys[:, 0] < TCAP
+    tail0 = jnp.where(has_t0, recs[:, 0], 0)
+    pret = pre_tail + jnp.where(has_t0, keys[:, 0], 0)
+    return found, sig, m, pay, tail0, pret
+
+
+def _pack_res(found, sig, m, pay, pret, tail0, alive, blk):
+    return jnp.stack(
         [
             jnp.where(found, sig + 1, 0),
             jnp.where(found, m, 0),
             pay,
-            pre_tail,
+            pret,
             tail0,
-            alive.astype(jnp.int32),
-            blk_final,
+            alive,
+            blk,
         ],
         axis=1,
     )
+
+
+@partial(jax.jit, static_argnames=("plan", "max_steps", "chain", "s_rows",
+                                   "ov_bits", "cb_bits", "reps",
+                                   "write_vm", "kill_steps", "kb"))
+def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
+                 nbits, start_bit, start_slot, vm_in, max_steps: int,
+                 chain: bool, s_rows: int, ov_bits: int, cb_bits: int,
+                 reps: int = 1, write_vm: bool = True,
+                 kill_steps: int = 0, kb: int = 0):
+    """Probe + record compaction + device link-match in ONE dispatch.
+
+    Returns (res [L, 7] int32, vm [s_rows * ov_bits]).  res columns:
+    sig+1|0 (matched sync state, (rel2<<4|slot)), m (blk ordinal of the
+    matched tail record), payload (successor head ordinal/variant/slot),
+    pre_tail (blk ordinal of tail record 0), tail0 (its packed record),
+    alive (0 done, 1 starved, 2 roster-dropped/incomplete), blk_final
+    (total blocks decoded).  ``vm_in`` lets re-probe rounds extend the
+    existing membership maps (re-probes pass write_vm=False: their
+    variant-0-tagged records would make match payloads ambiguous).
+
+    kill_steps > 0 with 0 < kb < reps enables the TWO-PHASE probe: after
+    ``kill_steps`` all L = rows x reps phase-variant lanes stop; lanes
+    whose trajectories provably merged with a peer (their last recorded
+    head state lost the vm scatter-max to another lane -- from a common
+    (bit, slot) state two decodes are identical) or already died are
+    retired, and only the first ``kb`` live lanes per row continue
+    through the remaining window.  Survivor counts on real content are
+    ~1.5-2.5 of bpm=6 (see docs/ARCHITECTURE.md), so most of the
+    window's decode work runs on a quarter of the lanes.  Merged lanes'
+    results are synthesized from their representative (ordinals shifted
+    by the block-count delta at the merge state); rank-overflow lanes
+    report alive=2 and resolve via the recovery re-probe round.
+    """
+    L = start_bit.shape[0]
+    hv_cols, iota_hv = _hv_consts(plan)
+    two_phase = (
+        kill_steps > 0 and 0 < kb < reps and write_vm
+        and kill_steps < max_steps
+    )
+
+    def run(steps_n, words_r, reps_r, rows_r, nb, sbit, sslot, carry0):
+        """One scan leg; words_r is the [rows, wn] window matrix and the
+        lane layout is canonical (row-major, reps_r lanes per row)."""
+        if chain:
+            consts = (("none",), nb, nb, jnp.int32(1 << 29),
+                      jnp.int32(cb_bits), jnp.int32(ov_bits),
+                      hv_cols, iota_hv)
+            words_t = _lane_matrix(words_r, reps_r).T
+            carry, ys = _chain_scan(
+                plan, consts, words_t, sbit, sslot, nb, steps_n, carry0
+            )
+            return carry, ys[2], ys[3]
+        refill = ("gather", words_r.reshape(-1), rows_r, words_r.shape[1])
+        consts = (refill, nb, nb, jnp.int32(1 << 29),
+                  jnp.int32(cb_bits), jnp.int32(ov_bits),
+                  hv_cols, iota_hv)
+        init = (
+            carry0 if carry0 is not None
+            else _init_carry(plan, refill, sbit, sslot, nb)
+        )
+
+        def step(c, _):
+            c, (_, _, rk, rv) = _spec_step(plan, consts, c)
+            return c, (rk, rv)
+
+        carry, (rkey, rval) = jax.lax.scan(
+            step, init, None, length=steps_n, unroll=UNROLL
+        )
+        return carry, rkey, rval
+
+    if not two_phase:
+        carry, rkey, rval = run(
+            max_steps, words, reps, row_of_lane, nbits, start_bit,
+            start_slot, None,
+        )
+        keys, recs = _compact_records(rkey, rval)
+        vm = (
+            _scatter_heads(vm_in, keys, recs, row_of_lane, variant,
+                           ov_bits, s_rows)
+            if write_vm else vm_in
+        )
+        found, sig, m, pay, tail0, pret = _tail_walk(
+            keys, recs, vm, succ_row, carry[13], cb_bits, ov_bits
+        )
+        res = _pack_res(found, sig, m, pay, pret, tail0,
+                        carry[1].astype(jnp.int32), carry[2])
+        return res, vm
+
+    # ---- phase A: every variant lane decodes the head region ----------
+    carryA, rkA, rvA = run(
+        kill_steps, words, reps, row_of_lane, nbits, start_bit,
+        start_slot, None,
+    )
+    keysA, recsA = _compact_records(rkA, rvA)
+    vm = _scatter_heads(vm_in, keysA, recsA, row_of_lane, variant,
+                        ov_bits, s_rows)
+
+    # ---- merge kill: losing the scatter-max at my last head state ------
+    # means a peer lane visited it; from a shared state two decodes are
+    # identical, so my future records are the winner's (ordinals shifted
+    # by our block-count difference at that state).
+    lh_rec, lh_blk = carryA[14], carryA[15]
+    bit_l = (lh_rec - 1) >> 4
+    slot_l = (lh_rec - 1) & 15
+    mine = ((lh_blk << 8) | (variant << 4) | slot_l) + 1
+    own_idx = row_of_lane * ov_bits + jnp.clip(bit_l, 0, ov_bits - 1)
+    p = jnp.take(vm, jnp.where(lh_rec > 0, own_idx, 0), mode="clip")
+    # the winner must be at the SAME (bit, slot) state: a different-slot
+    # lane at the same bit is a different decode state (its win also
+    # masks any same-slot record, which is a safe under-merge)
+    merged = (lh_rec > 0) & (p > mine) & (((p - 1) & 15) == slot_l)
+    rep_var = ((p - 1) >> 4) & 15
+    delta = lh_blk - ((p - 1) >> 8)
+    aliveA = carryA[1]
+    live = aliveA & ~merged
+
+    # ---- roster: first kb live variants per row -----------------------
+    R2 = L // reps
+    live_rb = live.reshape(R2, reps)
+    ex_rank = jnp.cumsum(live_rb.astype(jnp.int32), axis=1) \
+        - live_rb.astype(jnp.int32)
+    keep = live_rb & (ex_rank < kb)
+    cols = []
+    for j in range(kb):
+        vj = jnp.zeros((R2,), jnp.int32)
+        for v in range(reps - 1, -1, -1):
+            vj = jnp.where(keep[:, v] & (ex_rank[:, v] == j), v, vj)
+        cols.append(vj)
+    vsel = jnp.stack(cols, axis=1)  # [R2, kb] variant of each slot
+    cnt = live_rb.sum(axis=1)
+    slot_valid = jnp.arange(kb, dtype=jnp.int32)[None, :] < cnt[:, None]
+    take_l = (
+        jnp.arange(R2, dtype=jnp.int32)[:, None] * reps + vsel
+    ).reshape(-1)
+    dropped = (live_rb & (ex_rank >= kb)).reshape(-1)
+
+    def g(x):
+        return jnp.take(x, take_l, axis=0)
+
+    cB = []
+    for el in carryA:
+        cB.append(tuple(g(e) for e in el) if isinstance(el, tuple)
+                  else g(el))
+    cB[1] = cB[1] & slot_valid.reshape(-1)
+    carryB0 = tuple(cB)
+    rowB = jnp.repeat(jnp.arange(R2, dtype=jnp.int32), kb)
+    succB = g(succ_row)
+    varB = g(variant)
+    nbB = g(nbits)
+
+    # ---- phase B: survivors finish the window -------------------------
+    carryB, rkB, rvB = run(
+        max_steps - kill_steps, words, kb, rowB, nbB, carryB0[0],
+        carryB0[3], carryB0,
+    )
+    keysB, recsB = _compact_records(rkB, rvB)
+    vm = _scatter_heads(vm, keysB, recsB, rowB, varB, ov_bits, s_rows)
+
+    # ---- walks over both record sets (vm now complete) ----------------
+    fA, sigA, mA, payA, t0A, prA = _tail_walk(
+        keysA, recsA, vm, succ_row, carryA[13], cb_bits, ov_bits
+    )
+    fB, sigB, mB, payB, t0B, prB = _tail_walk(
+        keysB, recsB, vm, succB, carryB[13], cb_bits, ov_bits
+    )
+
+    # ---- res assembly: A results for every lane... --------------------
+    res = _pack_res(fA, sigA, mA, payA, prA, t0A,
+                    aliveA.astype(jnp.int32), carryA[2])
+    # rank-overflow lanes are incomplete unless the A walk already hit
+    res = res.at[:, R_ALIVE].set(
+        jnp.where(dropped & ~fA, 2, res[:, R_ALIVE])
+    )
+    # ...survivors overwrite with the A-priority combination of both sets
+    fAg = g(fA)
+    t0Ag = g(t0A)
+    foundS = fAg | fB
+    resS = _pack_res(
+        foundS,
+        jnp.where(fAg, g(sigA), sigB),
+        jnp.where(fAg, g(mA), mB),
+        jnp.where(fAg, g(payA), payB),
+        jnp.where(t0Ag > 0, g(prA), prB),
+        jnp.where(t0Ag > 0, t0Ag, t0B),
+        carryB[1].astype(jnp.int32),
+        carryB[2],
+    )
+    tl_valid = jnp.where(slot_valid.reshape(-1), take_l, L)
+    res = res.at[tl_valid].set(resS, mode="drop")
+    # ...merged lanes inherit their representative (delta-shifted)
+    iota_L = jnp.arange(L, dtype=jnp.int32)
+    rep = jnp.where(merged, row_of_lane * reps + rep_var, iota_L)
+    dlt = jnp.where(merged, delta, 0)
+    for _ in range(4):  # pointer doubling covers chains up to 16 deep
+        dlt = dlt + jnp.take(dlt, rep)
+        rep = jnp.take(rep, rep)
+    resR = jnp.take(res, rep, axis=0)
+    resR = resR.at[:, R_M].add(jnp.where(resR[:, R_SIG] > 0, dlt, 0))
+    resR = resR.at[:, R_PRET].add(
+        jnp.where(resR[:, R_TAIL0] > 0, dlt, 0)
+    )
+    resR = resR.at[:, R_BLK].add(dlt)
+    res = jnp.where(merged[:, None], resR, res)
     return res, vm
 
 
@@ -528,13 +721,16 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
     through the successor row's majority-vote lane (the host's
     optimistic continuation): the handoff entry comes from the failed
     lane's earliest strip boundary (tail0) and the successor becomes a
-    RECOVERY row, to be re-probed from the handoff state.  ``ovr`` is
-    the device analog of the host walk's ``reres`` side store: a [R, 10]
-    table of re-probed truths (valid, sig, m, pay, pret, tail0, alive,
-    blk, handoff_bit, handoff_slot); a valid override row's authority is
-    absolute -- its link applies to EVERY incoming token, which is what
-    lets the next round's scan walk past windows where no phase variant
-    converged at all.
+    RECOVERY row, to be re-probed from the handoff state.  A row whose
+    picked authority is a roster-dropped lane (alive == 2, two-phase
+    probe) is also a recovery row, but its entry is the MATCHED state
+    and its outgoing link routes through its own row's majority lane.
+    ``ovr`` is the device analog of the host walk's ``reres`` side
+    store: a [R, 11] table of re-probed truths (valid, sig, m, pay,
+    pret, tail0, alive, blk, entry_bit, entry_slot, by_handoff); a valid
+    override row's authority is absolute -- its link applies to EVERY
+    incoming token, which is what lets the next round's scan walk past
+    windows where no phase variant converged at all.
 
     Returns (status, f_start [R], f_slot [R], g0 [R], nblk [R],
     frame_tot [F], rec [R, 3]): status = -1 on a fatal condition
@@ -559,6 +755,7 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
         ovr[:, i] for i in range(1, 8)
     )
     o_hbit, o_hslot = ovr[:, 8], ovr[:, 9]
+    o_byhand = ovr[:, 10] > 0
     o_ok = (o_sig > 0) & (o_alive == 0)
 
     # Majority-vote fallback lane per row (host: votes among converged
@@ -583,7 +780,23 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
     # a failed link at row r hands off to row r+1's fallback lane
     fb_next = jnp.concatenate([fb[1:], jnp.full(1, MISS, i32)])
 
-    nxt = jnp.where(ok, (pay >> 4) & 15, fb_next[:, None]).astype(i32)
+    # Roster-dropped lanes (alive == 2, two-phase probe): their ENTRY is
+    # known (a true vm match) but their counts/links are not -- the
+    # outgoing link routes through the row's OWN majority lane (the host
+    # walk's votes at an incomplete row), while a plain link miss routes
+    # through the SUCCESSOR row's majority from a tail0 handoff.
+    drop2 = alive == 2
+    fbv = jnp.clip(fb, 0, bpm - 1)[:, None]
+    sig_fb = jnp.take_along_axis(sig, fbv, axis=1)
+    pay_fb = jnp.take_along_axis(pay, fbv, axis=1)
+    eff_ok = ok | (drop2 & has_fb[:, None])
+    eff_sig = jnp.where(ok, sig, jnp.where(drop2, sig_fb, 0))
+    eff_pay = jnp.where(ok, pay, jnp.where(drop2, pay_fb, 0))
+
+    nxt = jnp.where(
+        eff_ok, (eff_pay >> 4) & 15, fb_next[:, None]
+    ).astype(i32)
+    nxt = jnp.where(drop2 & ~eff_ok, MISS, nxt)
     maps = jnp.concatenate(
         [jnp.minimum(nxt, MISS), jnp.full((R, 1), MISS, i32)], axis=1
     )
@@ -617,32 +830,38 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
             ovr_valid, o_x, jnp.take_along_axis(x, vc, axis=1)[:, 0]
         )
 
-    sig_t = pick(sig, o_sig)
+    sig_t = pick(eff_sig, o_sig)
     m_t = pick(m, o_m)
-    pay_t = pick(pay, o_pay)
+    pay_t = pick(eff_pay, o_pay)
     pret_t = pick(pret, o_pret)
     tail0_t = pick(tail0, o_tail0)
     alive_t = pick(alive, o_alive)
     blk_t = pick(blk, o_blk)
-    link_ok = pick(ok.astype(i32), o_ok.astype(i32)) > 0
+    link_ok = pick(eff_ok.astype(i32), o_ok.astype(i32)) > 0
     resolved = ovr_valid | (vtok < MISS)
 
     prev = lambda x: jnp.concatenate(  # noqa: E731
         [jnp.zeros(1, x.dtype), x[:-1]]
     )
-    # recovery row: predecessor resolved but its link missed, and no
-    # re-probed truth yet
-    recov = (
+    # handoff recovery: predecessor resolved but its link missed (and it
+    # was not itself a dropped lane -- that case has no tail0 handoff
+    # and resolves through its own override next round)
+    recov_miss = (
         real_row & ~is_first & ~ovr_valid
-        & prev(resolved) & ~prev(link_ok)
+        & prev(resolved) & ~prev(link_ok) & (prev(alive_t) != 2)
     )
+    # entry-known recovery: the picked authority is a dropped lane
+    recov2 = (
+        real_row & ~is_first & ~ovr_valid & resolved & (alive_t == 2)
+    )
+    recov = recov_miss | recov2
     pending = real_row & ~is_first & ~resolved & ~recov
     # handoff entry = predecessor's tail record 0, shifted into the
     # successor window (its bit 0 sits cb bytes after the predecessor's)
     cb_bits = win_bits - ov_bits
     h_bit = ((prev(tail0_t) - 1) >> 4) - cb_bits
     h_slot = (prev(tail0_t) - 1) & 15
-    fatal = recov & (
+    fatal = recov_miss & (
         (prev(tail0_t) <= 0) | (h_bit < 0) | (h_bit >= ov_bits)
     )
     k_of = jnp.where(
@@ -651,17 +870,18 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
     f_start = jnp.where(
         is_first, 0,
         jnp.where(ovr_valid, o_hbit,
-                  jnp.where(recov, h_bit, (prev(sig_t) - 1) >> 4)),
+                  jnp.where(recov_miss, h_bit, (prev(sig_t) - 1) >> 4)),
     )
     f_slot = jnp.where(
         is_first, 0,
         jnp.where(ovr_valid, o_hslot,
-                  jnp.where(recov, h_slot, (prev(sig_t) - 1) & 15)),
+                  jnp.where(recov_miss, h_slot, (prev(sig_t) - 1) & 15)),
     )
     # a row whose SUCCESSOR entered via handoff spans only to its own
     # tail record 0 (the handoff state), not to a matched link
-    nxt_handoff = jnp.concatenate([(recov | ovr_valid)[1:],
-                                   jnp.zeros(1, bool)])
+    nxt_handoff = jnp.concatenate(
+        [(recov_miss | (ovr_valid & o_byhand))[1:], jnp.zeros(1, bool)]
+    )
     span_m = jnp.where(nxt_handoff, pret_t, m_t)
     nblk = jnp.where(is_last, blk_t, span_m) - k_of
     nblk = jnp.where(recov | pending, 0, nblk)
@@ -680,9 +900,10 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
     excl = c - nblk
     g0 = excl - jnp.take(excl, frame_first)
     tot = jnp.take(c, last_idx) - jnp.take(excl, first_idx)
-    assumed = recov & (vtok < MISS)
+    assumed = recov & (vtok < MISS) & link_ok
     rec = jnp.stack(
-        [recov.astype(i32), jnp.where(assumed, sig_t, 0),
+        [jnp.where(recov2, 2, recov_miss.astype(i32)),
+         jnp.where(assumed, sig_t, 0),
          jnp.where(assumed, pay_t, 0)], axis=1
     )
     return (status, f_start.astype(i32), f_slot.astype(i32),
@@ -692,7 +913,7 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
 def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
               j_fidx, j_lidx, ov_bits, win_cap_bits, jwords, j_frb,
               j_winbits, fsteps0, fhard, nrows, chain, probe_small, vm,
-              steps, is_last, total_blocks, win_bits, ent):
+              steps, is_last, total_blocks, win_bits, ent, lkey):
     """Drive the device fast-path resolve end to end.
 
     Clean batch: probe -> _resolve_fast -> final all dispatch async with
@@ -704,7 +925,7 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
     -- the host path owns the step-bound retry ladder)."""
     from ..utils.metrics import default_metrics
 
-    ovr_np = np.zeros((R, 10), np.int32)
+    ovr_np = np.zeros((R, 11), np.int32)
     fsteps = fsteps0
     coeffs = fst = None
     with default_metrics.stage("speculative.fast_resolve"):
@@ -741,6 +962,13 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 break
             default_metrics.count("speculative.reprobe_rounds")
             default_metrics.count("speculative.link_misses", n_rec)
+            if rnd == 0 and n_rec > max(8, R // 64):
+                # the survivor roster dropped live trajectories
+                # wholesale: widen it for this stream's later batches
+                _learned_kb[lkey] = min(
+                    bpm - 1, _learned_kb.get(lkey, 2) + 1
+                )
+                default_metrics.count("speculative.kb_grows")
             rec = np.asarray(rec_d)
             f_start_h = np.asarray(fs_d)
             f_slot_h = np.asarray(fl_d)
@@ -767,6 +995,7 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 ovr_np[row, 1:8] = r2
                 ovr_np[row, 8] = sbit[i]
                 ovr_np[row, 9] = sslot[i]
+                ovr_np[row, 10] = 1 if rec[row, 0] == 1 else 0
         else:
             return None  # rounds exhausted; host walk takes over
     while fst and fsteps < fhard:
@@ -997,21 +1226,27 @@ def _speculative_core_batch(
     jsucc = jnp.asarray(succ)
     jvar = jnp.asarray(variant)
 
+    kb = _learned_kb.get(lkey, 2) if bpm >= 3 else 0
+    kill = KILL_STEPS if kb else 0
+
     def probe(sbit, sslot, nb, vm, st):
         return _probe_match(
             plan, jwords, jrow, jsucc, jvar,
             jnp.asarray(nb, dtype=jnp.int32),
             jnp.asarray(sbit, dtype=jnp.int32),
             jnp.asarray(sslot, dtype=jnp.int32), vm, st, chain, R,
-            ov_bits, cb_bits, reps=bpm,
+            ov_bits, cb_bits, reps=bpm, kill_steps=kill, kb=kb,
         )
 
     def probe_small(rows_np, sbit, sslot, nb, vm, st):
         """Re-probe ONLY the failed rows (padded to a 128-row bucket)
         instead of redispatching all L lanes: a resolve round's device
-        cost drops from the full probe (~L x steps) to noise.  Row ids
-        stay GLOBAL so vm writes/matches land in the shared maps; the
-        row windows gather out of the device-resident [R, wn] matrix."""
+        cost drops from the full probe (~L x steps) to noise.  The
+        window matrix compacts to the failed rows, so the refill row ids
+        are LOCAL (a global id would index the compacted matrix out of
+        place in gather-refill mode); successor ids stay GLOBAL so the
+        tail walk matches into the shared membership maps (vm writes are
+        off: a re-probe lane's incoming edge is already resolved)."""
         L2 = len(rows_np)
         pad = max(128, 1 << (L2 - 1).bit_length()) if L2 > 1 else 128
         rows_p = np.zeros(pad, np.int32)
@@ -1022,7 +1257,8 @@ def _speculative_core_batch(
         succ2[:L2] = succ[np.asarray(rows_np, np.int64) * bpm]
         jr = jnp.asarray(rows_p)
         res2, vm = _probe_match(
-            plan, jnp.take(jwords, jr, axis=0), jr,
+            plan, jnp.take(jwords, jr, axis=0),
+            jnp.arange(pad, dtype=jnp.int32),
             jnp.asarray(succ2), jnp.zeros(pad, jnp.int32),
             jnp.asarray(arr[2]), jnp.asarray(arr[0]),
             jnp.asarray(arr[1]), vm, st, chain, R,
@@ -1103,7 +1339,7 @@ def _speculative_core_batch(
                 res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 j_fidx, j_lidx, ov_bits, cb_bits + ov_bits, jwords, j_frb,
                 j_winbits, fsteps0, fhard, nrows, chain, probe_small, vm,
-                steps, is_last, total_blocks, win_bits, ent,
+                steps, is_last, total_blocks, win_bits, ent, lkey,
             )
             if out2 is not None:
                 return out2
@@ -1193,10 +1429,23 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
                     r += 1
                     continue
                 rec = rec_of(r)
-                if rec[R_ALIVE]:
+                if rec[R_ALIVE] == 1:
                     # the authoritative lane starved: its records are
                     # incomplete -- retry the whole probe bigger
                     return "starved"
+                if rec[R_ALIVE] == 2:
+                    # roster-dropped authority (two-phase probe): the
+                    # entry is a true vm match but the counts/links are
+                    # not known -- re-probe r from its own entry; the
+                    # next round's walk continues from the re-probed
+                    # truth (no optimistic continuation here: this host
+                    # walk keeps incremental state across rounds, and
+                    # chaining guesses through incomplete rows lets a
+                    # mispredict survive partial invalidation)
+                    failed[r] = (int(f_start[r]), int(f_slot[r]))
+                    k_of[r] = 0
+                    v_of[r] = bpm
+                    break
                 sigp = int(rec[R_SIG])
                 if sigp > 0:
                     nblk[r] = int(rec[R_M]) - k_of[r]
@@ -1250,9 +1499,16 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
                 (r1 - 1) not in failed
             ):
                 rec = rec_of(r1 - 1)
-                if rec[R_ALIVE]:
+                if rec[R_ALIVE] == 1:
                     return "starved"
-                nblk[r1 - 1] = int(rec[R_BLK]) - k_of[r1 - 1]
+                if rec[R_ALIVE] == 2:
+                    failed[r1 - 1] = (
+                        int(f_start[r1 - 1]), int(f_slot[r1 - 1])
+                    )
+                    k_of[r1 - 1] = 0
+                    v_of[r1 - 1] = bpm
+                else:
+                    nblk[r1 - 1] = int(rec[R_BLK]) - k_of[r1 - 1]
         if (v_of >= 0).all() and (nblk >= 0).all():
             return v_of, k_of, f_start, f_slot, nblk
         if not failed:
