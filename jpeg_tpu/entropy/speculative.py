@@ -29,7 +29,7 @@ dominated the runtime at ~0.2x the serial reference):
           one present in its successor's map with the same slot phase
           -- from a common (bit, slot) block-start state two decodes
           are identical, so everything after is authoritative.  Only an
-          [L, 7] link-result table returns to the host.
+          [L, 8] link-result table returns to the host.
   RESOLVE (host, tiny) authority chains from chunk 0 through the link
           results; missed links (slow-sync content, saturated record
           caps) re-probe from the now-known true state in batched
@@ -80,7 +80,7 @@ HCAP = 128  # head-record capacity per lane (first `ov` bytes)
 BIGKEY = 1 << 20
 
 # res[, :] columns returned by _probe_match
-R_SIG, R_M, R_PAY, R_PRET, R_TAIL0, R_ALIVE, R_BLK = range(7)
+R_SIG, R_M, R_PAY, R_PRET, R_TAIL0, R_ALIVE, R_BLK, R_SU = range(8)
 
 # Sticky learned step bounds per (plan identity, chunk bytes): [probe
 # steps, final steps].  Plans are lru-cached singletons (see
@@ -114,7 +114,9 @@ def _spec_step(plan: ScanPlan, consts, carry):
      hv_cols, iota_hv) = consts
     (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
      w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail,
-     lh_rec, lh_blk) = carry
+     lh_rec, lh_blk, su) = carry
+    su = su + alive.astype(jnp.int32)  # consumed-step count (the
+    #   observed-need signal for the sticky learned step bounds)
     T = plan.maxcode.shape[0]
     bpm = plan.blocks_per_mcu
 
@@ -257,7 +259,7 @@ def _spec_step(plan: ScanPlan, consts, carry):
 
     carry = (bitpos, alive, blk, slot, coeff, dc_pred, cur_diff,
              w0, w1, pend_key, pend_val, tail_i, head_i, pre_tail,
-             lh_rec, lh_blk)
+             lh_rec, lh_blk, su)
     return carry, (em_key, em_val, rec_key, rec_val)
 
 
@@ -294,7 +296,7 @@ def _chain_scan(plan, consts, words_t, start_bit, start_slot, nbits,
             start_bit, start_bit < nbits, z, start_slot, z,
             tuple(z for _ in range(plan.n_comps)), z,
             jnp.zeros(L, jnp.uint32), jnp.zeros(L, jnp.uint32),
-            z, z, z, z, z, z, z,
+            z, z, z, z, z, z, z, z,
         )
     wb0 = carry0[0] >> 5
 
@@ -375,6 +377,7 @@ def _init_carry(plan, refill, start_bit, start_slot, nbits):
         z,  # pre_tail
         z,  # lh_rec (last capped head record)
         z,  # lh_blk (its block ordinal)
+        z,  # su (consumed steps)
     )
 
 
@@ -486,7 +489,7 @@ def _tail_walk(keys, recs, vm, succ_row, pre_tail, cb_bits, ov_bits):
     return found, sig, m, pay, tail0, pret
 
 
-def _pack_res(found, sig, m, pay, pret, tail0, alive, blk):
+def _pack_res(found, sig, m, pay, pret, tail0, alive, blk, su):
     return jnp.stack(
         [
             jnp.where(found, sig + 1, 0),
@@ -496,6 +499,7 @@ def _pack_res(found, sig, m, pay, pret, tail0, alive, blk):
             tail0,
             alive,
             blk,
+            su,
         ],
         axis=1,
     )
@@ -511,7 +515,7 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
                  kill_steps: int = 0, kb: int = 0):
     """Probe + record compaction + device link-match in ONE dispatch.
 
-    Returns (res [L, 7] int32, vm [s_rows * ov_bits]).  res columns:
+    Returns (res [L, 8] int32, vm [s_rows * ov_bits]).  res columns:
     sig+1|0 (matched sync state, (rel2<<4|slot)), m (blk ordinal of the
     matched tail record), payload (successor head ordinal/variant/slot),
     pre_tail (blk ordinal of tail record 0), tail0 (its packed record),
@@ -585,7 +589,7 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
             keys, recs, vm, succ_row, carry[13], cb_bits, ov_bits
         )
         res = _pack_res(found, sig, m, pay, pret, tail0,
-                        carry[1].astype(jnp.int32), carry[2])
+                        carry[1].astype(jnp.int32), carry[2], carry[16])
         return res, vm
 
     # ---- phase A: every variant lane decodes the head region ----------
@@ -668,7 +672,7 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
 
     # ---- res assembly: A results for every lane... --------------------
     res = _pack_res(fA, sigA, mA, payA, prA, t0A,
-                    aliveA.astype(jnp.int32), carryA[2])
+                    aliveA.astype(jnp.int32), carryA[2], carryA[16])
     # rank-overflow lanes are incomplete unless the A walk already hit
     res = res.at[:, R_ALIVE].set(
         jnp.where(dropped & ~fA, 2, res[:, R_ALIVE])
@@ -686,6 +690,7 @@ def _probe_match(plan: ScanPlan, words, row_of_lane, succ_row, variant,
         jnp.where(t0Ag > 0, t0Ag, t0B),
         carryB[1].astype(jnp.int32),
         carryB[2],
+        carryB[16],
     )
     tl_valid = jnp.where(slot_valid.reshape(-1), take_l, L)
     res = res.at[tl_valid].set(resS, mode="drop")
@@ -747,6 +752,7 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
     tail0 = res[:, R_TAIL0].reshape(R, bpm)
     alive = res[:, R_ALIVE].reshape(R, bpm)
     blk = res[:, R_BLK].reshape(R, bpm)
+    su = res[:, R_SU].reshape(R, bpm)
     MISS = bpm  # absorbing "unresolved" token
     ok = (sig > 0) & (alive == 0)
 
@@ -906,8 +912,14 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
          jnp.where(assumed, sig_t, 0),
          jnp.where(assumed, pay_t, 0)], axis=1
     )
+    # observed probe need: max consumed steps among authoritative lanes
+    # (override rows excluded -- their need was a re-probe's)
+    su_t = jnp.where(
+        ovr_valid | ~real_row, 0,
+        jnp.take_along_axis(su, vc, axis=1)[:, 0],
+    )
     return (status, f_start.astype(i32), f_slot.astype(i32),
-            g0.astype(i32), nblk.astype(i32), tot, rec)
+            g0.astype(i32), nblk.astype(i32), tot, rec, su_t.max())
 
 
 def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
@@ -931,7 +943,7 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
     with default_metrics.stage("speculative.fast_resolve"):
         for rnd in range(5):
             (status_d, fs_d, fl_d, g0_d, nblk_d, tot_d,
-             rec_d) = _resolve_fast(
+             rec_d, su_d) = _resolve_fast(
                 res_d, jnp.asarray(ovr_np), bpm, R, j_isf, j_isl, j_real,
                 j_frame_first, j_fidx, j_lidx, ov_bits, win_cap_bits,
             )
@@ -939,14 +951,17 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 # Optimistic: dispatch the final before knowing the
                 # status -- wasted device time only when a recovery
                 # round is needed; saves one RTT on clean batches.
-                coeffs, fstarved_d = _final_decode(
+                coeffs, fstarved_d, fsu_d = _final_decode(
                     plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d,
                     nblk_d, j_frame_first, fsteps, nrows, chain,
                 )
-                status, fst = jax.device_get((status_d, fstarved_d))
+                status, fst, su_obs, fsu = jax.device_get(
+                    (status_d, fstarved_d, su_d, fsu_d)
+                )
                 status, fst = int(status), bool(fst)
             else:
-                status = int(np.asarray(status_d))
+                status, su_obs = jax.device_get((status_d, su_d))
+                status = int(status)
             if status < 0:
                 return None
             n_rec = status & 0xFFFF
@@ -954,11 +969,12 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 if status >> 16:
                     return None  # pending rows but nothing to re-probe
                 if rnd > 0:
-                    coeffs, fstarved_d = _final_decode(
+                    coeffs, fstarved_d, fsu_d = _final_decode(
                         plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d,
                         nblk_d, j_frame_first, fsteps, nrows, chain,
                     )
-                    fst = bool(np.asarray(fstarved_d))
+                    fst, fsu = jax.device_get((fstarved_d, fsu_d))
+                    fst = bool(fst)
                 break
             default_metrics.count("speculative.reprobe_rounds")
             default_metrics.count("speculative.link_misses", n_rec)
@@ -992,7 +1008,7 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                         "speculative.optimistic_mispredicts"
                     )
                 ovr_np[row, 0] = 1
-                ovr_np[row, 1:8] = r2
+                ovr_np[row, 1:8] = r2[:7]
                 ovr_np[row, 8] = sbit[i]
                 ovr_np[row, 9] = sslot[i]
                 ovr_np[row, 10] = 1 if rec[row, 0] == 1 else 0
@@ -1001,13 +1017,16 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
     while fst and fsteps < fhard:
         default_metrics.count("speculative.final_retries")
         fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
-        coeffs, fstarved_d = _final_decode(
+        coeffs, fstarved_d, fsu_d = _final_decode(
             plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d, nblk_d,
             j_frame_first, fsteps, nrows, chain,
         )
-        fst = bool(np.asarray(fstarved_d))
+        fst, fsu = jax.device_get((fstarved_d, fsu_d))
+        fst = bool(fst)
     ent[0] = max(steps, ent[0])
     ent[1] = max(fsteps, ent[1])
+    ent[2] = max(ent[2], int(su_obs))
+    ent[3] = max(ent[3], int(fsu))
     n_use = [int(min(t, total_blocks)) for t in np.asarray(tot_d)]
     return coeffs, n_use
 
@@ -1104,7 +1123,7 @@ def _final_decode(plan: ScanPlan, words, frame_row_base, nbits,
     # write-once slots: scatter-set beats scatter-add ~1.5x on v5e
     out = out.at[flat].set(em_val.reshape(-1), mode="drop")
     starved = carry[1].any()
-    return out.reshape(nrows, 64), starved
+    return out.reshape(nrows, 64), starved, carry[16].max()
 
 
 def _fallback(why: str = ""):
@@ -1220,6 +1239,14 @@ def _speculative_core_batch(
     learned = _learned_steps.get(lkey)
     if learned is not None:
         steps = max(steps, learned[0])
+        if learned[2]:
+            # observed need (max consumed steps of authoritative lanes
+            # over this stream's batches) + margin; the starvation
+            # ladder is the backstop if content densifies mid-stream
+            steps = min(
+                steps,
+                max(KILL_STEPS + 64, (learned[2] + 160 + 63) // 64 * 64),
+            )
 
     jwords = jnp.asarray(words)
     jrow = jnp.asarray(row_of_lane)
@@ -1288,11 +1315,15 @@ def _speculative_core_batch(
     fhard = int(win * 8 + 66 + 63) // 64 * 64
     if learned is not None:
         fsteps0 = max(fsteps0, learned[1])
+        if learned[3]:
+            fsteps0 = min(
+                fsteps0, max(192, (learned[3] + 128 + 63) // 64 * 64)
+            )
     fsteps0 = min(fsteps0, fhard)
     j_frame_first = jnp.asarray(frame_first)
     j_frb = jnp.asarray(frame_row_base.astype(np.int32))
     j_winbits = jnp.asarray(win_bits.astype(np.int32))
-    ent = _learned_steps.setdefault(lkey, [0, 0])
+    ent = _learned_steps.setdefault(lkey, [0, 0, 0, 0])
 
     def run_final(f_start, f_slot, g0, nblk):
         """Final-decode retry ladder; args may live on device or host."""
@@ -1304,7 +1335,7 @@ def _speculative_core_batch(
         )
         with default_metrics.stage("speculative.final"):
             while True:
-                coeffs, fstarved = _final_decode(
+                coeffs, fstarved, fsu = _final_decode(
                     plan, jwords, j_frb, j_winbits, *args,
                     j_frame_first, fsteps, nrows, chain,
                 )
@@ -1313,6 +1344,7 @@ def _speculative_core_batch(
                 default_metrics.count("speculative.final_retries")
                 fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
         ent[1] = max(fsteps, ent[1])
+        ent[3] = max(ent[3], int(np.asarray(fsu)))
         return coeffs
 
     # Row-structure masks for the device fast-path resolve.
@@ -1346,7 +1378,7 @@ def _speculative_core_batch(
             default_metrics.count("speculative.fast_misses")
 
         with default_metrics.stage("speculative.probe_sync"):
-            res_h = np.asarray(res_d)  # [L, 7] link-table download
+            res_h = np.asarray(res_d)  # [L, 8] link-table download
 
         with default_metrics.stage("speculative.resolve"):
             out = _resolve(
@@ -1361,6 +1393,12 @@ def _speculative_core_batch(
         return _fallback(out)
     ent[0] = max(steps, ent[0])
     v_of, k_of, f_start, f_slot, nblk = out
+    auth = v_of[:R_real]
+    arow = np.nonzero((auth >= 0) & (auth < bpm))[0]
+    if arow.size:
+        ent[2] = max(
+            ent[2], int(res_h[arow * bpm + auth[arow], R_SU].max())
+        )
 
     g0_within = np.zeros(R, np.int64)
     n_use = []
@@ -1378,7 +1416,7 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
     """Host authority chain over the device link results.
 
     ``probe`` is the SMALL-shape re-probe: probe(rows, sbit, sslot, nb,
-    vm, steps) -> (res [len(rows), 7] host, vm) dispatching only the
+    vm, steps) -> (res [len(rows), 8] host, vm) dispatching only the
     failed rows (padded to a 128-row bucket) against the shared
     device-resident maps.  Returns (v_of, k_of, f_start, f_slot, nblk)
     on success, or a string reason for fallback ("starved" asks the
@@ -1403,7 +1441,7 @@ def _resolve(res_h, plan, F, R, bpm, row_base, win_bits, cb_bits, ov_bits,
     # original variant-0 lane's ordinals.
     reres: Dict[int, np.ndarray] = {}
 
-    _nores = np.zeros(7, res_h.dtype)  # missing re-probe -> walk falls
+    _nores = np.zeros(8, res_h.dtype)  # missing re-probe -> walk falls
     #                                      back via "no tail boundary"
 
     def rec_of(r):
