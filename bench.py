@@ -182,33 +182,18 @@ def main() -> None:
     # words shows what a PCIe-attached host would sustain.  Amortized:
     # 8 async dispatches per timed unit, one sync.
     try:
-        from jpeg_tpu.models.device_decode import (
-            _decode_device,
-            _decode_device_flat,
-            _decode_device_phased,
-        )
-
         prepared = dec.prepare(jpegs[:CHUNK])
         kind, data, starts, nbits, qts = prepared
+        # Pin the prepared chunk on device, then re-dispatch through the
+        # decoder's own path selection (scatter / phased / Pallas region
+        # placement) so this probe always measures the production route.
         dd = jax.device_put(np.asarray(data))
-        dn = jax.device_put(np.asarray(nbits))
-        dq = jax.device_put(np.asarray(qts))
-        if kind == "flat":
-            ds = jax.device_put(starts)
-            fn = lambda: _decode_device_flat(  # noqa: E731
-                dec.plan, dec.geom, dd, ds, dn, dq, dec.max_steps, CHUNK,
-                dec.segs_per_frame, dec.wn)
-        elif kind == "mats":
-            dp = jax.device_put(np.asarray(starts))  # perm
-            phases = dec._phases_for(CHUNK, dec.max_steps)
-            log(f"device-resident probe: phased {phases}")
-            fn = lambda: _decode_device_phased(  # noqa: E731
-                dec.plan, dec.geom, dd, dn, dq, dp, phases, CHUNK,
-                dec.segs_per_frame)
-        else:
-            fn = lambda: _decode_device(  # noqa: E731
-                dec.plan, dec.geom, dd, dn, dq, dec.max_steps, CHUNK,
-                dec.segs_per_frame)
+        starts_d = (
+            jax.device_put(np.asarray(starts)) if starts is not None else None
+        )
+        prepared_dev = (kind, dd, starts_d, nbits, qts)
+        log(f"device-resident probe: kind={kind} place_ri={dec.place_ri}")
+        fn = lambda: dec._decode_prepared(prepared_dev, CHUNK)[0]  # noqa: E731
         jax.block_until_ready(fn())
 
         def one_resident():

@@ -172,6 +172,60 @@ def main():
     print(f"place floor @6.8ns/attempt: {att*6.8e-6:.1f} ms "
           f"(true-symbol floor {true_steps*6.8e-6:.1f} ms)")
 
+    # ---- Pallas lane-region placement A/B (entropy/place_pallas) ------
+    from jpeg_tpu.entropy.place_pallas import (
+        place_emissions_region,
+        placement_eligible,
+    )
+
+    if not placement_eligible(dec.plan, dec.ri, spf):
+        print("region placement: not eligible on this shape")
+        return
+    interp = jax.default_backend() != "tpu"
+    # Classic (frame-major) chunk for the region path: no sorting needed.
+    sort_keep, dec.sort_order = dec.sort_order, None
+    kindc, datac, _, nbitsc, _ = dec.prepare(jpegs[:CHUNK])
+    dec.sort_order = sort_keep
+    print(f"region prep kind={kindc}")
+    jwc = jnp.asarray(datac)
+    jnc = jnp.asarray(nbitsc)
+    full_r = functools.partial(
+        dd._decode_device, dec.plan, dec.geom,
+    )
+    dt = timeit(lambda: full_r(jwc, jnc, jq, max_steps, frames, spf,
+                               place_ri=dec.ri, interpret=interp)[0])
+    print(f"region: full {dt*1e3:.1f} ms -> {mpix/dt:.1f} Mpix/s "
+          f"(per-tile exact bounds; attempts ~ sum(tile max))")
+
+    @jax.jit
+    def scan_place_region(words, nbits):
+        counts, (ek, ev), starved, nsteps = _scan_lanes(
+            dec.plan, words, nbits, max_steps)
+        coeffs = place_emissions_region(
+            dec.plan, ek, ev, nsteps, frames, spf, dec.ri,
+            interpret=interp)
+        return coeffs.ravel()[:8].sum()
+
+    @jax.jit
+    def scan_classic(words, nbits):
+        counts, (ek, ev), starved, nsteps = _scan_lanes(
+            dec.plan, words, nbits, max_steps)
+        return counts.sum() + ek.sum() + ev.sum() + nsteps.sum()
+
+    t_sc = timeit(scan_classic, jwc, jnc)
+    t_spr = timeit(scan_place_region, jwc, jnc)
+    # Per-tile attempt count (what the kernel actually loops)
+    _, _, _, nst = dd._decode_device_learn(
+        dec.plan, dec.geom, jwc, jnc, jq, max_steps, frames, spf)
+    nst = np.asarray(nst)
+    pad = (-nst.size) % 128
+    tile_att = int(
+        np.pad(nst, (0, pad)).reshape(-1, 128).max(axis=1).sum() * 128
+    )
+    print(f"stage scan(classic) {t_sc*1e3:.1f} ms | +place(region) "
+          f"{t_spr*1e3:.1f} ms (region ~{(t_spr-t_sc)*1e3:.1f}) | "
+          f"tile attempts={tile_att} ratio={tile_att/true_steps:.2f}")
+
 
 if __name__ == "__main__":
     main()
