@@ -82,7 +82,8 @@ def make_sharded_decoder(cfg: BatchConfig, mesh: Mesh, exact: bool = False):
 
 
 def make_sharded_stream_decoder(
-    plan, geom, mesh: Mesh, frames: int, segs_per_frame: int, max_steps: int
+    plan, geom, mesh: Mesh, frames: int, segs_per_frame: int, max_steps: int,
+    place_ri: int = 0, interpret: bool = False,
 ):
     """Full stream decode (lockstep entropy + dense) sharded over 'frame'.
 
@@ -108,8 +109,12 @@ def make_sharded_stream_decoder(
     fpd = frames // n
 
     def local(words, nbits, qtables):
+        # place_ri > 0 selects the Pallas lane-region placement inside
+        # each device's shard (entropy/place_pallas; eligibility is the
+        # caller's responsibility) -- the same kernel as single-chip.
         px, starved, _ = _decode_impl(
-            plan, geom, words, nbits, qtables, max_steps, fpd, segs_per_frame
+            plan, geom, words, nbits, qtables, max_steps, fpd,
+            segs_per_frame, place_ri=place_ri, interpret=interpret,
         )
         return px, starved.reshape(1)
 

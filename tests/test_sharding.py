@@ -220,3 +220,41 @@ def test_single_frame_sharded_with_padding_lanes():
     _, expect = decode_coefficients(data, entropy="serial")
     for cid in expect:
         np.testing.assert_array_equal(planes[cid], expect[cid])
+
+
+def test_sharded_stream_decode_region_placement():
+    """Sharded stream decode with the Pallas lane-region placement
+    (interpret mode) must equal the scatter-placement shards exactly."""
+    from jpeg_tpu.encoder import EncodeParams, encode_jpeg
+    from jpeg_tpu.entropy.lockstep_jax import _max_steps_for
+    from jpeg_tpu.entropy.place_pallas import placement_eligible
+    from jpeg_tpu.models.device_decode import DeviceDecoder
+    from jpeg_tpu.parallel.sharding import make_mesh, make_sharded_stream_decoder
+    from refbin import make_ppm
+
+    params = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                          restart_interval=2, exact=False)
+    jpegs = [encode_jpeg(make_ppm(64, 32, seed=200 + i), params)
+             for i in range(4)]
+    dec = DeviceDecoder.for_stream(jpegs[0])
+    assert placement_eligible(dec.plan, dec.ri, dec.segs_per_frame)
+    prepared = dec.prepare(jpegs)
+    assert prepared[0] in ("mat", "mats", "flat")
+    if prepared[0] == "flat":
+        buf, starts, nbits, qts = prepared[1:]
+        idx = starts[:, None] + np.arange(dec.wn, dtype=np.int32)[None, :]
+        words = np.asarray(buf)[np.minimum(idx, buf.shape[0] - 1)]
+    else:
+        words, _, nbits, qts = prepared[1:]
+    steps = _max_steps_for(nbits.astype(np.int64), dec.plan, dec.ri,
+                           optimistic=False)
+    mesh = make_mesh(8)
+    scatter = make_sharded_stream_decoder(
+        dec.plan, dec.geom, mesh, 4, dec.segs_per_frame, steps)
+    region = make_sharded_stream_decoder(
+        dec.plan, dec.geom, mesh, 4, dec.segs_per_frame, steps,
+        place_ri=dec.ri, interpret=True)
+    px_s, st_s = scatter(words, nbits, qts)
+    px_r, st_r = region(words, nbits, qts)
+    assert not np.asarray(st_s).any() and not np.asarray(st_r).any()
+    np.testing.assert_array_equal(np.asarray(px_r), np.asarray(px_s))
