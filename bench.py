@@ -130,6 +130,25 @@ def time_reference(jpegs: list) -> float:
 
 
 def main() -> None:
+    # Hang guard: the remote TPU tunnel can go down for hours on this
+    # box, and a bench that blocks forever in backend init is worse
+    # than one that fails loudly.  The alarm covers corpus encode +
+    # reference baseline + TPU init + first compile, and is cancelled
+    # once the first real device work completes.
+    import signal
+
+    def _hang(signum, frame):
+        log("bench: TPU backend unreachable (init/first-compile exceeded "
+            "the hang guard); no measurement possible")
+        raise SystemExit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _hang)
+        signal.alarm(int(__import__("os").environ.get(
+            "JPEG_TPU_BENCH_GUARD_S", "900")))
+    except (ValueError, OSError):
+        pass  # non-main thread or unsupported platform: no guard
+
     # ---- encode the corpus on CPU (before the TPU runtime wakes up) ---
     import jax
 
@@ -168,6 +187,10 @@ def main() -> None:
     t0 = time.perf_counter()
     out = dec.decode_batch(jpegs, chunk=CHUNK)
     out.block_until_ready()
+    try:
+        signal.alarm(0)  # device reachable and compiling: guard off
+    except (ValueError, OSError):
+        pass
     log(f"warmup (compile): {time.perf_counter()-t0:.1f}s; out {out.shape} {out.dtype}")
 
     def one_stream():
