@@ -17,8 +17,61 @@ Exit status: 0 on success, 1 on failure, like the reference.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
+
+
+def _ensure_backend() -> None:
+    """Make the CLI runnable wherever it is invoked.
+
+    An explicit JAX_PLATFORMS request wins (some environments'
+    sitecustomize force-registers a remote accelerator and overrides the
+    env var via jax.config -- re-assert it here).  Otherwise probe the
+    configured backend under a hang guard and fall back to CPU with a
+    warning when it is unreachable (this box's TPU tunnel goes down for
+    hours; the reference binary has no accelerator to lose, and a CLI
+    that crashes -- or hangs -- without one fails the SURVEY §5
+    failure-isolation bar).
+    """
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+        return
+
+    # Probe in a KILLABLE subprocess: a dead remote-accelerator tunnel
+    # hangs PJRT init inside a native call, where neither SIGALRM nor
+    # thread timeouts can reach (measured on this box), and a hung init
+    # also poisons the in-process backend lock.  The child pays one
+    # extra interpreter start only on the no-explicit-platform path.
+    import subprocess
+
+    timeout = int(os.environ.get("JPEG_TPU_CLI_BACKEND_TIMEOUT", "60"))
+    why = None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout,
+        )
+        if r.returncode != 0:
+            tail = (r.stderr or b"").decode(errors="replace").strip()
+            why = tail.splitlines()[-1][:200] if tail else f"rc={r.returncode}"
+    except subprocess.TimeoutExpired:
+        why = f"backend init exceeded {timeout}s"
+    except OSError as e:
+        why = str(e)
+    if why is not None:
+        print(f"warning: accelerator backend unavailable ({why}); "
+              "falling back to CPU", file=sys.stderr)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
 
 def _decode(args) -> int:
@@ -193,6 +246,7 @@ def main(argv=None) -> int:
     m.set_defaults(fn=_mjpeg)
 
     args = parser.parse_args(argv)
+    _ensure_backend()
     return args.fn(args)
 
 

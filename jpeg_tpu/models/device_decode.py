@@ -285,15 +285,19 @@ class DeviceDecoder:
 
         mode = _os.environ.get("JPEG_TPU_PLACE", "auto")
         eligible = placement_eligible(plan, scan.ri, len(segments))
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:  # accelerator unreachable: caller decides
+            backend = "unavailable"
         if mode == "pallas":
             use_region = eligible
         elif mode == "scatter":
             use_region = False
         else:
-            use_region = eligible and jax.default_backend() == "tpu"
+            use_region = eligible and backend == "tpu"
         return DeviceDecoder(
             place_ri=scan.ri if use_region else 0,
-            place_interpret=jax.default_backend() != "tpu",
+            place_interpret=backend != "tpu",
             plan=plan,
             geom=cs.geometry,
             ri=scan.ri,
