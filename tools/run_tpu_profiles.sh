@@ -14,6 +14,8 @@ echo "[$(stamp)] bench place=auto(region)" && JPEG_TPU_PLACE=auto python -u benc
 echo "exit=$?" >> /tmp/bench_place.log
 echo "[$(stamp)] bench place=scatter" && JPEG_TPU_PLACE=scatter python -u bench.py >> /tmp/bench_place.log 2>&1
 echo "exit=$?" >> /tmp/bench_place.log
+echo "[$(stamp)] dense" && python -u tools/profile_dense.py > /tmp/dense.log 2>&1
+echo "exit=$?" >> /tmp/dense.log
 echo "[$(stamp)] spec" && python -u tools/profile_spec.py > /tmp/spec3.log 2>&1
 echo "exit=$?" >> /tmp/spec3.log
 echo "[$(stamp)] ablate_encode" && python -u tools/ablate_encode.py > /tmp/abl_enc.log 2>&1
