@@ -346,7 +346,12 @@ def parse_codestream(data: bytes) -> Codestream:
             continue
         if is_rst(marker):
             if current_scan is None:
-                raise UnsupportedError("RST marker outside scan")
+                # The reference accepts a restart marker before any SOS:
+                # its scan struct still has Ns = 0 (decoder.c:479), so
+                # the RSTn case's read_ecs returns after zero
+                # macroblocks (read_macroblock decoder.c:270-272) and
+                # the marker walk continues.  Mirror the no-op.
+                continue
             end = ecs_index.find(r.pos)
             current_scan.ecs_ranges.append((r.pos, end))
             r.pos = end

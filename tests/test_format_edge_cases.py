@@ -131,3 +131,23 @@ def test_fill_bytes_and_comment_and_garbage():
     assert img.to_pnm() == golden
     assert img.codestream.comments == [b"hello"]
     assert img.codestream.trailing_garbage == len(b"garbage!")
+
+
+def test_rst_before_sos_is_noop():
+    """A restart marker BEFORE any SOS is a no-op in the reference (the
+    scan struct's Ns is still 0, decoder.c:479 + 270-272: read_ecs
+    processes zero macroblocks and the marker walk continues) -- found
+    by the fuzz sweep as a reject-vs-accept divergence.  Both with a
+    later real scan and with no scan at all (flat zero-coefficient
+    frame), output must stay byte-identical to the reference."""
+    jpg = encode_jpeg(make_ppm(24, 16, seed=13), EncodeParams(h=2, v=2))
+    i = jpg.find(b"\xff\xda")
+    with_rst = jpg[:i] + b"\xff\xd4" + jpg[i:]
+    assert jpeg_tpu.decode_jpeg(with_rst, exact=True).to_pnm() == ref_decode(
+        with_rst
+    )
+    # drop the scan entirely: RST + EOI after the headers
+    no_scan = jpg[:i] + b"\xff\xd4\xff\xd9"
+    assert jpeg_tpu.decode_jpeg(no_scan, exact=True).to_pnm() == ref_decode(
+        no_scan
+    )
