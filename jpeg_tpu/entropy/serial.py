@@ -20,6 +20,7 @@ import numpy as np
 
 from ..constants import ZIGZAG
 from ..errors import CorruptStream, NoMoreData, UnsupportedError
+from ..utils.metrics import default_metrics
 from ..geometry import FrameGeometry, ScanInfo
 from ..tables import HuffTable
 
@@ -126,10 +127,17 @@ def decode_block(
             return
         i += zrl
         if i > 63:
-            # Corrupt run length; the reference would write out of bounds
-            # here (coeffs.c:247) -- fail cleanly instead.
-            raise CorruptStream("AC run past coefficient 63")
-        out[ZIGZAG[i]] = extend_coeff(cat, extra)
+            # A run past coefficient 63 sends the reference out of bounds
+            # (coeffs.c:247 indexes zigzag[i>63]; observed outcomes range
+            # from stray writes into NEIGHBORING blocks' buffers to heap
+            # corruption aborts -- undefined behavior either way).  The
+            # defined analog: consume the identical bits so the stream
+            # stays in lockstep, drop the unplaceable write, keep
+            # decoding.  Counted so callers can tell the output is not
+            # byte-pinned to the reference here (PARITY.md).
+            default_metrics.count("serial.reference_ub")
+        else:
+            out[ZIGZAG[i]] = extend_coeff(cat, extra)
         i += 1
         rem -= zrl + 1
 
@@ -186,6 +194,15 @@ class ScanDecoder:
             for w in range(blocks_in_mb):
                 block_seq = blocks_in_mb * seq_no + w
                 in_range = block_seq < comp.n_blocks
+                if not in_range:
+                    # The reference's Ns=1 branch has NO past-the-end
+                    # guard (decoder.c:274-302, unlike the interleaved
+                    # branch's NULL check at 339-347): it writes past
+                    # the component's heap buffer -- undefined; observed
+                    # as glibc heap-corruption aborts.  Decoding into a
+                    # scratch block is the defined analog (identical bit
+                    # consumption); counted like the other UB class.
+                    default_metrics.count("serial.reference_ub")
                 out = plane[block_seq] if in_range else scratch
                 decode_block(br, self.dc_tables[0], self.ac_tables[0], out)
                 out[0] += last_dc.get(cid, 0)

@@ -40,7 +40,7 @@ from ..constants import (
     is_rst,
 )
 from ..constants import DEFAULT_HTABLES
-from ..errors import FileIOError, UnsupportedError
+from ..errors import CorruptStream, FileIOError, UnsupportedError
 from ..geometry import Component, FrameGeometry, ScanInfo, with_block_grid
 from ..tables import HuffSpec
 
@@ -245,6 +245,13 @@ def _parse_dht_segment(
             raise UnsupportedError("invalid DHT Tc")
         counts = tuple(r.u8() for _ in range(16))
         values = tuple(r.u8() for _ in range(sum(counts)))
+        if sum(counts) > 255:
+            # The reference derives codes at parse time and its Annex-C
+            # tables hold at most 255 symbols plus a terminator; a
+            # larger DHT fails the `K < 256` assertion
+            # (huffman.c:59,67) and aborts -- i.e. the stream is
+            # rejected even when the table is never used by a scan.
+            raise CorruptStream("DHT with more than 255 symbols")
         htables[(tc, th)] = HuffSpec(counts, values)
 
 

@@ -69,7 +69,9 @@ def ref_encode(
         res = subprocess.run(
             [
                 str(build / "encoder"),
-                "-h", str(h), "-v", str(v), "-q", str(q), "-o", str(optimize),
+                # int() so a bool doesn't become "True" (atoi -> 0)
+                "-h", str(int(h)), "-v", str(int(v)), "-q", str(int(q)),
+                "-o", str(int(optimize)),
                 str(inp), str(out),
             ],
             capture_output=True,

@@ -20,6 +20,7 @@ import pytest
 import jpeg_tpu
 from jpeg_tpu.encoder import EncodeParams, encode_jpeg
 from jpeg_tpu.errors import JpegError
+from jpeg_tpu.utils.metrics import default_metrics
 from refbin import ensure_reference_binaries, make_ppm
 
 pytestmark = pytest.mark.skipif(
@@ -76,12 +77,18 @@ def test_fuzz_corruption_parity():
     agree = 0
     for name, mut in _mutations(jpg):
         golden = _ref_decode_or_none(mut)
+        ub0 = default_metrics.counters["serial.reference_ub"]
         try:
             ours = jpeg_tpu.decode_jpeg(mut, entropy="serial").to_pnm()
         except JpegError:
             ours = None
         except Exception as e:  # noqa: BLE001 - anything else is a bug
             raise AssertionError(f"{name}: non-JpegError {type(e).__name__}: {e}")
+        if default_metrics.counters["serial.reference_ub"] > ub0:
+            # The mutation drove the reference out of bounds (see
+            # PARITY.md "Known deviations"): its output/exit is
+            # layout-dependent, so only crash-freedom is checkable.
+            continue
         if golden is not None:
             assert ours == golden, f"{name}: outputs differ"
             agree += 1
@@ -111,3 +118,76 @@ def test_fuzz_speculative_never_crashes():
             raise AssertionError(
                 f"{name}: non-JpegError {type(e).__name__}: {e}"
             )
+
+
+def test_oversubscribed_dht_rejected():
+    """A DHT with >255 total symbols deterministically aborts the
+    reference (`K < 256` assertion, huffman.c:59,67) at PARSE time, even
+    when no scan uses the table; we mirror the reject (format/parse.py).
+    Found by tools/fuzz_sweep.py (a bit flip in an L count)."""
+    jpg = encode_jpeg(make_ppm(16, 16, seed=3), EncodeParams(h=1, v=1))
+    # 16 counts of 16 = 256 symbols, values all zero
+    dht = (b"\xff\xc4" + (2 + 1 + 16 + 256).to_bytes(2, "big") + b"\x01"
+           + bytes([16] * 16) + bytes(256))
+    i = jpg.find(b"\xff\xda")
+    mut = jpg[:i] + dht + jpg[i:]
+    assert _ref_decode_or_none(mut) is None, "reference accepted?!"
+    with pytest.raises(JpegError):
+        jpeg_tpu.decode_jpeg(mut, entropy="serial")
+
+
+def test_reference_ub_classes_counted():
+    """The two corrupt-stream classes that are UB in the reference
+    (PARITY.md): our serial engine must keep decoding with identical bit
+    consumption, drop the unplaceable writes, and fire the
+    `serial.reference_ub` metric so harnesses know byte parity is off.
+    """
+    from jpeg_tpu.constants import DEFAULT_HTABLES
+    from jpeg_tpu.tables import HuffSpec, derive_table
+
+    # -- class (a): AC run past coefficient 63 (coeffs.c:247 OOB) -----
+    # Build a gray 8x8 stream with implicit (K.3 default) tables whose
+    # single block codes DC cat 0 then five ZRLs: i = 1+16*4+15 = 80.
+    dc = derive_table(HuffSpec.from_pair(DEFAULT_HTABLES[(0, 0)]))
+    ac = derive_table(HuffSpec.from_pair(DEFAULT_HTABLES[(1, 0)]))
+
+    def code_of(tab, sym):
+        return int(tab.ehufco[sym]), int(tab.ehufsi[sym])
+
+    bits = []
+    for sym, tab in [(0, dc)] + [(0xF0, ac)] * 5 + [(0x00, ac)]:
+        c, n = code_of(tab, sym)
+        bits += [(c >> k) & 1 for k in range(n - 1, -1, -1)]
+    while len(bits) % 8:
+        bits.append(1)  # flush padding
+    ecs = bytes(
+        sum(b << (7 - k) for k, b in enumerate(bits[i:i + 8]))
+        for i in range(0, len(bits), 8)
+    )
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xdb\x00\x43\x00" + bytes([1] * 64)      # flat q=1 table
+        + b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + ecs.replace(b"\xff", b"\xff\x00")
+        + b"\xff\xd9"
+    )
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    img = jpeg_tpu.decode_jpeg(stream, entropy="serial")
+    assert default_metrics.counters["serial.reference_ub"] > ub0
+    assert img.frame.shape[:2] == (8, 8)
+
+    # -- class (b): Ns=1 scan overrunning the component buffer --------
+    # (decoder.c:274-302 has no bounds guard).  Encode 16x16 gray, then
+    # shrink SOF's declared height to 8: the scan now carries 2 MCUs
+    # more than the geometry holds.
+    from refbin import make_pgm
+
+    jpg = encode_jpeg(make_pgm(16, 16, seed=9), EncodeParams(h=1, v=1))
+    sof = jpg.find(b"\xff\xc0")
+    hi = sof + 5  # SOF payload: P(1) Y(2) -> height at sof+5..6
+    mut = jpg[:hi] + (8).to_bytes(2, "big") + jpg[hi + 2:]
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    img = jpeg_tpu.decode_jpeg(mut, entropy="serial")
+    assert default_metrics.counters["serial.reference_ub"] > ub0
+    assert img.frame.shape[:2] == (8, 16)

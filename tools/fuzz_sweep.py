@@ -48,6 +48,7 @@ import jpeg_tpu
 from jpeg_tpu import native
 from jpeg_tpu.encoder import EncodeParams, encode_jpeg
 from jpeg_tpu.errors import JpegError
+from jpeg_tpu.utils.metrics import default_metrics
 from refbin import (
     ReferenceEncodeFailed,
     ensure_reference_binaries,
@@ -121,6 +122,7 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     deadline = time.time() + args.minutes * 60
     iters = enc_ident = dec_exact = mut_total = mut_agree = 0
+    ub_skipped = 0
     failures = []
 
     def fail(tag, detail, blobs):
@@ -164,7 +166,8 @@ def main() -> int:
         if ri == 0:
             # byte-identity vs the reference encoder (it has no DRI flag)
             try:
-                theirs = ref_encode(pnm, h=h, v=v, q=q, optimize=optimize)
+                theirs = ref_encode(pnm, h=h, v=v, q=q,
+                                    optimize=int(optimize))
                 enc_ident += 1
                 if ours != theirs:
                     fail("encode-differs", cfg,
@@ -197,6 +200,7 @@ def main() -> int:
         for name, mut in mutations(rng, ours, 3):
             mut_total += 1
             g = ref_decode_or_none(build, mut)
+            ub0 = default_metrics.counters["serial.reference_ub"]
             try:
                 m_ours = jpeg_tpu.decode_jpeg(mut, entropy="serial").to_pnm()
             except JpegError:
@@ -204,6 +208,15 @@ def main() -> int:
             except Exception:
                 fail(f"serial-crash[{name}]",
                      f"{cfg}\n{traceback.format_exc()}", {".jpg": mut})
+                continue
+            if default_metrics.counters["serial.reference_ub"] > ub0:
+                # The stream drives the reference out of bounds
+                # (coeffs.c:247 with an AC run past 63): its output is
+                # layout-dependent and it often aborts with heap
+                # corruption.  No byte/accept parity is defined there
+                # (PARITY.md); crash-freedom on our side is the whole
+                # check.
+                ub_skipped += 1
                 continue
             if g is not None and m_ours != g:
                 fail(f"serial-differs[{name}]", cfg,
@@ -233,7 +246,8 @@ def main() -> int:
 
     print(f"done: {iters} configs, {enc_ident} byte-identical encodes, "
           f"{dec_exact} exact decodes, {mut_agree}/{mut_total} "
-          f"mutation-parity, {len(failures)} failures",
+          f"mutation-parity, {ub_skipped} ub-skipped, "
+          f"{len(failures)} failures",
           file=sys.stderr, flush=True)
     for tag, detail in failures:
         print(f"  {tag}: {detail}", file=sys.stderr)
