@@ -25,6 +25,8 @@ Usage: python tools/fuzz_sweep.py [--minutes 30] [--seed 0]
 from __future__ import annotations
 
 import argparse
+import contextlib
+import signal
 import subprocess
 import sys
 import tempfile
@@ -61,19 +63,42 @@ from refbin import (
 MODES = [("gray", 1, 1), ("444", 1, 1), ("422", 2, 1), ("420", 2, 2)]
 
 
+TIMEOUT = object()  # sentinel: the reference ran past the budget
+
+
 def ref_decode_or_none(build, jpeg_bytes: bytes):
     with tempfile.TemporaryDirectory() as td:
         inp = Path(td) / "in.jpg"
         out = Path(td) / "out.pnm"
         inp.write_bytes(jpeg_bytes)
-        res = subprocess.run(
-            [str(build / "decoder"), str(inp), str(out)],
-            capture_output=True,
-            timeout=60,
-        )
+        try:
+            res = subprocess.run(
+                [str(build / "decoder"), str(inp), str(out)],
+                capture_output=True,
+                timeout=60,
+            )
+        except subprocess.TimeoutExpired:
+            # e.g. a bit flip in SOF dims makes the image gigapixels:
+            # legitimately minutes of (serial) work, not a hang we can
+            # classify.  No parity statement possible.
+            return TIMEOUT
         if res.returncode != 0 or not out.exists():
             return None
         return out.read_bytes()
+
+
+@contextlib.contextmanager
+def alarm(seconds: int):
+    """SIGALRM-based timeout for our own in-process decode."""
+    def handler(signum, frame):
+        raise TimeoutError()
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def mutations(rng, jpg: bytes, k: int):
@@ -122,7 +147,7 @@ def main() -> int:
     rng = np.random.default_rng(args.seed)
     deadline = time.time() + args.minutes * 60
     iters = enc_ident = dec_exact = mut_total = mut_agree = 0
-    ub_skipped = 0
+    ub_skipped = slow_skipped = 0
     failures = []
 
     def fail(tag, detail, blobs):
@@ -178,6 +203,9 @@ def main() -> int:
                 pass  # our encoder may exceed the reference (12-bit opt)
 
         golden = ref_decode_or_none(build, ours)
+        if golden is TIMEOUT:
+            slow_skipped += 1
+            continue
         if golden is None:
             fail("ref-rejects-our-stream", cfg, {".pnm": pnm, ".jpg": ours})
             continue
@@ -200,11 +228,24 @@ def main() -> int:
         for name, mut in mutations(rng, ours, 3):
             mut_total += 1
             g = ref_decode_or_none(build, mut)
+            if g is TIMEOUT:
+                # gigantic-dims class; our serial Python walk would be
+                # slower still -- skip without decoding.
+                slow_skipped += 1
+                continue
             ub0 = default_metrics.counters["serial.reference_ub"]
             try:
-                m_ours = jpeg_tpu.decode_jpeg(mut, entropy="serial").to_pnm()
+                with alarm(180):
+                    m_ours = jpeg_tpu.decode_jpeg(
+                        mut, entropy="serial").to_pnm()
             except JpegError:
                 m_ours = None
+            except TimeoutError:
+                # The reference finished under 60 s but our Python-level
+                # serial walk did not -- a speed gap, not a parity bug
+                # (large-dims accepts); skip.
+                slow_skipped += 1
+                continue
             except Exception:
                 fail(f"serial-crash[{name}]",
                      f"{cfg}\n{traceback.format_exc()}", {".jpg": mut})
@@ -247,7 +288,7 @@ def main() -> int:
     print(f"done: {iters} configs, {enc_ident} byte-identical encodes, "
           f"{dec_exact} exact decodes, {mut_agree}/{mut_total} "
           f"mutation-parity, {ub_skipped} ub-skipped, "
-          f"{len(failures)} failures",
+          f"{slow_skipped} slow-skipped, {len(failures)} failures",
           file=sys.stderr, flush=True)
     for tag, detail in failures:
         print(f"  {tag}: {detail}", file=sys.stderr)
