@@ -26,9 +26,22 @@ from ..tables import HuffTable
 
 
 def extend_coeff(cat: int, extra: int) -> int:
-    """F.12 sign extension (coeffs.c:33-48)."""
+    """F.12 sign extension (coeffs.c:33-48).
+
+    ``extra`` is the reference's uint16 accumulator value (the low 16 of
+    the consumed bits).  A corrupt DC table can deliver cat up to 255:
+    decode_coeff stays DEFINED through cat == 30 (the uint16 promotes to
+    int, the shifts fit, sign is 0, and our exact formula reproduces it);
+    cat >= 31 shifts past the int width / overflows INT32_C(1) << cat --
+    undefined, so count it and return the extra bits unextended (any
+    defined choice works: harnesses skip byte comparison once
+    `serial.reference_ub` fires, see PARITY.md).
+    """
     if cat == 0:
         return 0
+    if cat >= 31:
+        default_metrics.count("serial.reference_ub")
+        return extra
     if extra >> (cat - 1):
         return extra
     return extra - (1 << cat) + 1
@@ -77,12 +90,19 @@ class BitReader:
         self.pos += n
 
     def read_bits(self, n: int) -> int:
+        """Consume ``n`` bits; return the LOW 16 of their value.
+
+        Mirrors read_extra_bits (huffman.c:294-312): the reference shifts
+        every bit into a uint16, so when a corrupt DC table requests
+        cat > 16 extra bits, all ``cat`` bits are consumed (keeping the
+        stream position in lockstep) but only the last 16 survive.
+        """
         if n == 0:
             return 0
         self._fill(n)
         val = (self._buf >> (self._buflen - n)) & ((1 << n) - 1)
         self.consume(n)
-        return val
+        return val & 0xFFFF
 
 
 def read_code(br: BitReader, table: HuffTable) -> int:
@@ -104,15 +124,22 @@ def decode_block(
     dc_table: HuffTable,
     ac_table: HuffTable,
     out: Optional[np.ndarray],
+    oob: bool = False,
 ) -> None:
     """Decode one 8x8 block into ``out`` [64] raster (read_block,
     coeffs.c:196-254).  ``out is None`` replicates the reference's
     corrupt-file NULL-block path: consume the DC code then bail.
+    ``oob=True`` marks a block the REFERENCE would write out of bounds
+    (the Ns=1 overrun, decoder.c:274-302): its first write happens right
+    after a successful DC read, so the UB event is counted exactly
+    there -- a bit reader that dies inside the DC code never reaches it.
     """
     cat = read_code(br, dc_table)
     extra = br.read_bits(cat)
     if out is None:
         raise CorruptStream("block past end of component buffer")
+    if oob:
+        default_metrics.count("serial.reference_ub")
     out[:] = 0
     out[0] = extend_coeff(cat, extra)
 
@@ -194,17 +221,16 @@ class ScanDecoder:
             for w in range(blocks_in_mb):
                 block_seq = blocks_in_mb * seq_no + w
                 in_range = block_seq < comp.n_blocks
-                if not in_range:
-                    # The reference's Ns=1 branch has NO past-the-end
-                    # guard (decoder.c:274-302, unlike the interleaved
-                    # branch's NULL check at 339-347): it writes past
-                    # the component's heap buffer -- undefined; observed
-                    # as glibc heap-corruption aborts.  Decoding into a
-                    # scratch block is the defined analog (identical bit
-                    # consumption); counted like the other UB class.
-                    default_metrics.count("serial.reference_ub")
+                # The reference's Ns=1 branch has NO past-the-end guard
+                # (decoder.c:274-302, unlike the interleaved branch's
+                # NULL check at 339-347): it writes past the component's
+                # heap buffer -- undefined; observed as glibc heap-
+                # corruption aborts.  Decoding into a scratch block is
+                # the defined analog (identical bit consumption);
+                # decode_block counts the event iff the write happens.
                 out = plane[block_seq] if in_range else scratch
-                decode_block(br, self.dc_tables[0], self.ac_tables[0], out)
+                decode_block(br, self.dc_tables[0], self.ac_tables[0],
+                             out, oob=not in_range)
                 out[0] += last_dc.get(cid, 0)
                 last_dc[cid] = int(out[0])
             return

@@ -191,3 +191,59 @@ def test_reference_ub_classes_counted():
     img = jpeg_tpu.decode_jpeg(mut, entropy="serial")
     assert default_metrics.counters["serial.reference_ub"] > ub0
     assert img.frame.shape[:2] == (8, 16)
+
+
+def _gray_stream_with_dc_table(counts, values, ecs_bits):
+    """Minimal 8x8 grayscale JPEG with a custom DC table (AC = default
+    K.3 luma, installed implicitly) and a hand-packed ECS."""
+    bits = list(ecs_bits)
+    while len(bits) % 8:
+        bits.append(1)
+    ecs = bytes(
+        sum(b << (7 - k) for k, b in enumerate(bits[i:i + 8]))
+        for i in range(0, len(bits), 8)
+    )
+    dht = (b"\xff\xc4" + (2 + 1 + 16 + len(values)).to_bytes(2, "big")
+           + b"\x00" + bytes(counts) + bytes(values))
+    return (
+        b"\xff\xd8"
+        + b"\xff\xdb\x00\x43\x00" + bytes([1] * 64)
+        + dht
+        + b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + ecs.replace(b"\xff", b"\xff\x00")
+        + b"\xff\xd9"
+    )
+
+
+def test_dc_category_17_to_30_byte_matches_reference():
+    """A corrupt DC table can deliver categories 17..30.  decode_coeff
+    stays DEFINED there (uint16 extra promotes to int, shifts fit, sign
+    is 0 -- coeffs.c:33-48) and read_extra_bits consumes all cat bits
+    keeping only the low 16 (huffman.c:294-312); the int32 dequant wrap
+    is congruent with our int64 math truncated once.  So our output must
+    be BYTE-IDENTICAL to the reference, with no UB event counted."""
+    # DC table: 1-bit code 0 -> cat 18, 2-bit code 10 -> cat 0
+    counts = [1, 1] + [0] * 14
+    # ECS: code(0)=cat18, 18 extra bits (wrap to low 16), then EOB(1010)
+    ecs_bits = [0] + [1, 0] * 9 + [1, 0, 1, 0]
+    jpg = _gray_stream_with_dc_table(counts, [18, 0], ecs_bits)
+    golden = _ref_decode_or_none(jpg)
+    assert golden is not None, "reference rejected the cat-18 stream"
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    ours = jpeg_tpu.decode_jpeg(jpg, entropy="serial").to_pnm()
+    assert default_metrics.counters["serial.reference_ub"] == ub0
+    assert ours == golden
+
+
+def test_dc_category_31_plus_counted_not_crashing():
+    """cat >= 31 shifts past the int width in decode_coeff -- undefined
+    in the reference; we consume the same bits, count the event, and
+    keep decoding (the OverflowError crash the fuzz sweep caught)."""
+    counts = [1, 1] + [0] * 14
+    ecs_bits = [0] + [1, 0] * 20 + [1, 0, 1, 0]
+    jpg = _gray_stream_with_dc_table(counts, [40, 0], ecs_bits)
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    img = jpeg_tpu.decode_jpeg(jpg, entropy="serial")
+    assert default_metrics.counters["serial.reference_ub"] > ub0
+    assert img.frame.shape[:2] == (8, 8)
