@@ -15,7 +15,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .errors import CorruptStream, UnsupportedError
+from .errors import CorruptStream, JpegError, UnsupportedError
 from .format.parse import Codestream, parse_codestream, unstuff
 from .geometry import FrameGeometry
 from .models.pipeline import decode_frame
@@ -91,6 +91,9 @@ def expected_mcus(geom: FrameGeometry, info) -> int:
     non-interleaved: each step covers H*V consecutive blocks of the
     component's own grid (decoder.c:274-302).
     """
+    if info.ns == 0:
+        # read_macroblock returns NO_MORE_DATA at once (decoder.c:271-273).
+        return 0
     if info.ns > 1:
         return geom.n_mcus
     c = geom.by_id(info.component_ids[0])
@@ -118,6 +121,22 @@ def decode_coefficients(
     data: bytes, entropy: str = "auto"
 ) -> tuple[Codestream, Dict[int, np.ndarray]]:
     """Parse + entropy-decode only: JPEG bytes -> coefficient planes."""
+    try:
+        return _decode_coefficients(data, entropy)
+    except JpegError:
+        if entropy != "auto":
+            raise
+        # An auto-picked fast engine may reject degenerate/corrupt
+        # layouts the reference still decodes (e.g. a scan referencing
+        # an undeclared component id, which it simply skips); the serial
+        # oracle defines our behavior there -- retry once with it.  A
+        # genuinely corrupt stream re-raises from the oracle.
+        return _decode_coefficients(data, "serial")
+
+
+def _decode_coefficients(
+    data: bytes, entropy: str
+) -> tuple[Codestream, Dict[int, np.ndarray]]:
     cs = parse_codestream(data)
     geom = cs.geometry
     if geom is None:
@@ -130,6 +149,12 @@ def decode_coefficients(
 
     cs.mcus_decoded = []
     for scan in cs.scans:
+        if scan.info.ns == 0:
+            # Ns=0 scan: the reference's read_macroblock returns
+            # NO_MORE_DATA immediately (decoder.c:271-273), so read_ecs
+            # processes zero macroblocks and the marker walk continues.
+            cs.mcus_decoded.append(0)
+            continue
         tables = {k: _derive_cached(spec) for k, spec in scan.htables.items()}
         backend = entropy
         if backend == "auto":

@@ -22,6 +22,9 @@ import sys
 from pathlib import Path
 
 
+_backend_ready = False
+
+
 def _ensure_backend() -> None:
     """Make the CLI runnable wherever it is invoked.
 
@@ -34,6 +37,11 @@ def _ensure_backend() -> None:
     that crashes -- or hangs -- without one fails the SURVEY §5
     failure-isolation bar).
     """
+    global _backend_ready
+    if _backend_ready:
+        return  # one probe per process (repeated main() calls)
+    _backend_ready = True
+
     import jax
 
     want = os.environ.get("JAX_PLATFORMS")
@@ -42,13 +50,18 @@ def _ensure_backend() -> None:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
-        return
+        if all(p.strip() in ("cpu", "") for p in want.split(",")):
+            return  # local backend: nothing to probe
+        # Fall through: an accelerator request (even an explicit one)
+        # still gets the hang guard -- this box EXPORTS
+        # JAX_PLATFORMS=axon globally, so the env var often reflects the
+        # machine profile rather than user intent, and a dead tunnel
+        # would otherwise hang the CLI indefinitely.
 
     # Probe in a KILLABLE subprocess: a dead remote-accelerator tunnel
     # hangs PJRT init inside a native call, where neither SIGALRM nor
     # thread timeouts can reach (measured on this box), and a hung init
-    # also poisons the in-process backend lock.  The child pays one
-    # extra interpreter start only on the no-explicit-platform path.
+    # also poisons the in-process backend lock.
     import subprocess
 
     timeout = int(os.environ.get("JPEG_TPU_CLI_BACKEND_TIMEOUT", "60"))

@@ -214,7 +214,17 @@ class ScanDecoder:
             # A.2.2 non-interleaved: H*V consecutive blocks per step over
             # the component's own raster block grid (decoder.c:274-302).
             cid = info.component_ids[0]
-            comp = geom.by_id(cid)
+            comp = geom.by_id_or_none(cid)
+            if comp is None:
+                # The reference's component array holds all 256 ids;
+                # an undeclared one has H = V = 0 from init_component,
+                # so read_macroblock consumes NOTHING and read_ecs
+                # loops forever (decoder.c:364-383 has no MCU bound) --
+                # a hang, no parity definable (PARITY.md).
+                default_metrics.count("serial.reference_ub")
+                raise CorruptStream(
+                    "Ns=1 scan over undeclared component (reference hangs)"
+                )
             plane = self.planes[cid]
             blocks_in_mb = comp.h * comp.v
             scratch = np.zeros(64, dtype=np.int64)
@@ -241,7 +251,14 @@ class ScanDecoder:
         x = seq_no % geom.m_x
         y = seq_no // geom.m_x
         for j, cid in enumerate(info.component_ids):
-            comp = geom.by_id(cid)
+            comp = geom.by_id_or_none(cid)
+            if comp is None:
+                # Undeclared id: the reference's component[Cs] has
+                # H = V = 0 (init_component), so the per-component block
+                # loops run zero times -- the component contributes no
+                # blocks and consumes no bits.  DEFINED behavior; skip
+                # to stay bit-exact (decoder.c:316-358).
+                continue
             plane = self.planes[cid]
             for v in range(comp.v):
                 for h in range(comp.h):

@@ -43,6 +43,7 @@ from ..constants import DEFAULT_HTABLES
 from ..errors import CorruptStream, FileIOError, UnsupportedError
 from ..geometry import Component, FrameGeometry, ScanInfo, with_block_grid
 from ..tables import HuffSpec
+from ..utils.metrics import default_metrics
 
 
 @dataclass
@@ -200,9 +201,18 @@ def unstuff_ranges(data: bytes, ranges) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _parse_dqt_segment(r: _Reader, cs: Codestream, seg_len: int) -> None:
-    """Multi-table DQT (decoder.c:20-68, loop at 523-526)."""
+    """Multi-table DQT (decoder.c:20-68, loop at 523-526).
+
+    A DO-WHILE like the reference: at least one table parses even when
+    the declared length is shorter than a table (the loop condition is
+    only checked after each table, so a table may also read PAST the
+    declared end -- parsing resumes from the overrun position, not from
+    pos+len).  Fuzz-found divergence: a DQT with length 0 still consumes
+    one 65/129-byte table."""
     end = r.pos - 2 + seg_len
-    while r.pos < end:
+    first = True
+    while first or r.pos < end:
+        first = False
         pq, tq = r.nibbles()
         if tq >= 4:
             raise UnsupportedError("invalid DQT Tq")
@@ -229,6 +239,25 @@ def _parse_sof(r: _Reader, cs: Codestream) -> None:
         c = r.u8()
         h, v = r.nibbles()
         tq = r.u8()
+        if h == 0 or v == 0:
+            # T.81 requires H,V in 1..4; the reference never validates.
+            # A zero factor puts it in undefined territory: SIGFPE when
+            # max_H/max_V end up 0 (ceil_div, common.c:171-172), an
+            # INFINITE LOOP for an Ns=1 scan over the 0-block component
+            # (read_macroblock consumes nothing, read_ecs never stops),
+            # and in some interleaved layouts an accept with NULL
+            # component buffers.  No parity is definable (PARITY.md);
+            # we count the event and reject cleanly.
+            default_metrics.count("serial.reference_ub")
+            raise CorruptStream("zero sampling factor")
+        if tq > 3:
+            # SOF reads Tq as a full byte and never validates it
+            # (decoder.c:117-121, unlike DQT's Tq < 4 check): dequantize
+            # then reads context->qtable[Tq] out of bounds -- undefined
+            # (PARITY.md).  Defined analog: clamp to the last table id
+            # (matching XLA's clamped gather on the device paths).
+            default_metrics.count("serial.reference_ub")
+            tq = 3
         comps.append(Component(cid=c, h=h, v=v, tq=tq))
     geom = FrameGeometry(precision=p, height=y, width=x, components=tuple(comps))
     cs.geometry = with_block_grid(geom)
@@ -237,9 +266,15 @@ def _parse_sof(r: _Reader, cs: Codestream) -> None:
 def _parse_dht_segment(
     r: _Reader, htables: Dict[Tuple[int, int], HuffSpec], seg_len: int
 ) -> None:
-    """Multi-table DHT (decoder.c:143-184, loop at 586-590)."""
+    """Multi-table DHT (decoder.c:143-184, loop at 586-590).
+
+    DO-WHILE semantics, like DQT: at least one table parses regardless
+    of the declared length, and a table whose counts overrun the
+    segment end leaves the parse position at the overrun point."""
     end = r.pos - 2 + seg_len
-    while r.pos < end:
+    first = True
+    while first or r.pos < end:
+        first = False
         tc, th = r.nibbles()
         if tc >= 2:
             raise UnsupportedError("invalid DHT Tc")
@@ -252,6 +287,13 @@ def _parse_dht_segment(
             # (huffman.c:59,67) and aborts -- i.e. the stream is
             # rejected even when the table is never used by a scan.
             raise CorruptStream("DHT with more than 255 symbols")
+        if th > 3:
+            # The reference never validates Th and its arrays hold four
+            # ids (htable[2][4], common.h:142): a larger id WRITES out
+            # of bounds into the neighboring context fields at parse
+            # time -- undefined (PARITY.md).  Defined analog: keep the
+            # table under its id; flag so byte comparison is off.
+            default_metrics.count("serial.reference_ub")
         htables[(tc, th)] = HuffSpec(counts, values)
 
 
@@ -345,6 +387,22 @@ def parse_codestream(data: bytes) -> Codestream:
         if marker == M_SOS:
             r.u16()
             info = _parse_sos(r, cs)
+            for key in [(0, td) for td in info.td] + [
+                (1, ta) for ta in info.ta
+            ]:
+                if key not in htables:
+                    # The reference never validates Td/Ta either: decode
+                    # reads hcode[tc][th] which for an undefined id
+                    # th <= 3 is UNINITIALIZED memory (practically the
+                    # fresh-page zeros of the context malloc: last_k=0,
+                    # so no code ever matches and the scan ends at its
+                    # first symbol) and for th > 3 an out-of-bounds read
+                    # aliasing a neighboring table (UB; PARITY.md).  The
+                    # zero table reproduces the former exactly; the
+                    # latter is additionally flagged.
+                    if key[1] > 3:
+                        default_metrics.count("serial.reference_ub")
+                    htables[key] = HuffSpec(tuple([0] * 16), ())
             current_scan = Scan(info=info, htables=dict(htables), ri=cs.ri)
             cs.scans.append(current_scan)
             end = ecs_index.find(r.pos)

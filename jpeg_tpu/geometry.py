@@ -11,7 +11,9 @@ compute_no_blocks_and_alloc_buffers (common.c:156-195):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
+
+from .errors import CorruptStream
 
 
 def ceil_div(n: int, d: int) -> int:
@@ -79,16 +81,26 @@ class FrameGeometry:
         return self.m_y * 8 * self.max_v
 
     def by_id(self, cid: int) -> Component:
+        c = self.by_id_or_none(cid)
+        if c is None:
+            # A corrupt scan can reference an id the SOF never declared;
+            # raising a JpegError keeps every engine on the documented
+            # reject-at-worst contract (the serial oracle handles the
+            # reference's exact skip semantics itself, serial.py).
+            raise CorruptStream(f"no component with id {cid}")
+        return c
+
+    def by_id_or_none(self, cid: int) -> Optional[Component]:
         for c in self.components:
             if c.cid == cid:
                 return c
-        raise KeyError(f"no component with id {cid}")
+        return None
 
     def index_of(self, cid: int) -> int:
         for i, c in enumerate(self.components):
             if c.cid == cid:
                 return i
-        raise KeyError(f"no component with id {cid}")
+        raise CorruptStream(f"no component with id {cid}")
 
 
 def with_block_grid(geom: FrameGeometry) -> FrameGeometry:

@@ -70,7 +70,10 @@ def decode_frame(
     """
     size_y, size_x = geom.size_y, geom.size_x
     chans = []
-    for comp in geom.components:
+    # The reference assembles channels by ASCENDING component id
+    # (transform_components_to_frame walks ids 0..255, frame.c:49-81),
+    # not SOF order; the lowest id becomes channel 0 (= Y for color).
+    for comp in sorted(geom.components, key=lambda c: c.cid):
         plane = decode_component_plane(
             planes[comp.cid],
             jnp.asarray(qtables)[comp.tq],
@@ -79,9 +82,19 @@ def decode_frame(
             geom.precision,
             exact=exact,
         )
-        step_y = size_y // (comp.b_y * 8)
-        step_x = size_x // (comp.b_x * 8)
-        chans.append(upsample_nn(plane, step_y, step_x))
+        c_y, c_x = comp.b_y * 8, comp.b_x * 8
+        step_y = size_y // c_y if c_y else 1
+        step_x = size_x // c_x if c_x else 1
+        up = upsample_nn(plane, step_y, step_x)
+        if up.shape[-2:] != (size_y, size_x):
+            # Non-dividing sampling ratio (corrupt/exotic SOF): the
+            # reference paints step_y x step_x patches and NEVER touches
+            # the remaining frame margin -- malloc'd storage, which for
+            # the fresh context pages reads as 0.0 (frame.c:28,60-76).
+            up = jnp.zeros((size_y, size_x), up.dtype).at[
+                : up.shape[-2], : up.shape[-1]
+            ].set(up[..., :size_y, :size_x])
+        chans.append(up)
     frame = jnp.stack(chans, axis=-1)
     return to_rgb(frame, geom.precision, exact=exact)
 

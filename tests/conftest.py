@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The box exports JAX_PLATFORMS=axon (remote TPU) globally.  Force the
+# env var to cpu too: in-process cli.main() calls consult it
+# (cli._ensure_backend) and would otherwise probe the tunnel -- 60 s per
+# call when it is down -- and subprocesses the tests spawn inherit it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -151,3 +151,32 @@ def test_rst_before_sos_is_noop():
     assert jpeg_tpu.decode_jpeg(no_scan, exact=True).to_pnm() == ref_decode(
         no_scan
     )
+
+
+def test_dqt_dht_do_while_semantics():
+    """The reference's multi-table DQT/DHT loops are DO-WHILE
+    (decoder.c:522-526, 586-590): at least one table parses even when
+    the declared length is 0, and parsing resumes from the table's
+    actual end, not pos+len.  Fuzz-found: zeroing a DQT length made us
+    skip the table the reference consumed, desyncing every following
+    marker."""
+    jpg = encode_jpeg(make_ppm(24, 16, seed=21), EncodeParams(h=2, v=2))
+    assert jpg[2:4] == b"\xff\xdb"
+    mut = jpg[:4] + b"\x00\x00" + jpg[6:]  # DQT length := 0
+    assert jpeg_tpu.decode_jpeg(mut, exact=True).to_pnm() == ref_decode(mut)
+
+
+def test_undeclared_scan_component_skipped():
+    """A scan referencing a component id the SOF never declared: the
+    reference's component[Cs] exists with H = V = 0 (init_component), so
+    the id contributes no blocks and consumes no bits -- DEFINED
+    behavior, byte-pinned here.  (Fuzz-found as a KeyError crash.)"""
+    jpg = encode_jpeg(make_ppm(24, 16, seed=22), EncodeParams(h=2, v=2))
+    i = jpg.find(b"\xff\xda")
+    head = bytearray(jpg[i:i + 14])
+    # SOS payload: len(2) Ns(1) then [Cs Td/Ta] triples; rewrite the
+    # THIRD component's id (3 -> 9)
+    assert head[5] == 1 and head[7] == 2 and head[9] == 3
+    head[9] = 9
+    mut = jpg[:i] + bytes(head) + jpg[i + 14:]
+    assert jpeg_tpu.decode_jpeg(mut, exact=True).to_pnm() == ref_decode(mut)

@@ -247,3 +247,65 @@ def test_dc_category_31_plus_counted_not_crashing():
     img = jpeg_tpu.decode_jpeg(jpg, entropy="serial")
     assert default_metrics.counters["serial.reference_ub"] > ub0
     assert img.frame.shape[:2] == (8, 8)
+
+
+def test_ns0_scan_decodes_zero_mcus():
+    """An SOS with Ns=0: read_macroblock returns NO_MORE_DATA at once
+    (decoder.c:271-273), so the scan processes zero macroblocks and the
+    walk continues -- all engines must byte-match the reference (found
+    by the fuzz sweep as a lockstep IndexError crash)."""
+    jpg = encode_jpeg(make_ppm(16, 16, seed=4), EncodeParams(h=1, v=1))
+    i = jpg.find(b"\xff\xda")
+    # Ns=0 scan header: len=8 payload Ns=0 Ss=0 Se=63 AhAl=0, no comps
+    ns0 = b"\xff\xda\x00\x06\x00\x00\x3f\x00"
+    mut = jpg[:i] + ns0 + jpg[i:]
+    golden = _ref_decode_or_none(mut)
+    assert golden is not None, "reference rejected the Ns=0 scan"
+    for eng in ("serial", "lockstep", "lockstep-jax"):
+        assert jpeg_tpu.decode_jpeg(mut, entropy=eng).to_pnm() == golden, eng
+
+
+def test_zero_sampling_factor_counted_and_rejected():
+    """H=0 / V=0 components are illegal (T.81 wants 1..4) and put the
+    unvalidating reference in undefined territory: SIGFPE when
+    max_H/max_V is 0, an infinite read_ecs loop for Ns=1 scans over the
+    0-block component, accept-with-NULL-buffers in other layouts.  We
+    count the UB event (so harnesses skip parity) and reject cleanly."""
+    jpg = encode_jpeg(make_ppm(16, 16, seed=5), EncodeParams(h=2, v=2))
+    sof = jpg.find(b"\xff\xc0")
+    # components start at sof+2(marker)+2(len)+1(P)+2(Y)+2(X)+1(Nf);
+    # each is [Cid, HV, Tq] -- zero the luma H nibble
+    hv = sof + 10 + 1
+    mut = bytearray(jpg)
+    mut[hv] = mut[hv] & 0x0F
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    with pytest.raises(JpegError):
+        jpeg_tpu.decode_jpeg(bytes(mut), entropy="serial")
+    assert default_metrics.counters["serial.reference_ub"] > ub0
+
+
+def test_undefined_table_id_zero_table():
+    """A scan whose Td points at a never-defined id <= 3 reads
+    UNINITIALIZED hcode memory in the reference -- practically the
+    fresh-page zeros of the context malloc, so no code ever matches and
+    the scan ends at its first symbol.  Our zero-table analog must
+    byte-match; ids > 3 alias out of bounds (htable[2][4]) and are
+    counted as reference UB."""
+    jpg = encode_jpeg(make_pgm_(16, 16), EncodeParams(h=1, v=1))
+    i = jpg.find(b"\xff\xda")
+    # rewrite the scan header's Td/Ta byte: Td=3 (undefined), Ta=0
+    head = bytearray(jpg[i:i + 10])
+    head[6] = 0x30
+    mut = jpg[:i] + bytes(head) + jpg[i + 10:]
+    golden = _ref_decode_or_none(mut)
+    assert golden is not None, "reference rejected the Td=3 stream"
+    ub0 = default_metrics.counters["serial.reference_ub"]
+    ours = jpeg_tpu.decode_jpeg(mut, entropy="serial").to_pnm()
+    assert default_metrics.counters["serial.reference_ub"] == ub0
+    assert ours == golden
+
+
+def make_pgm_(w, h):
+    from refbin import make_pgm
+
+    return make_pgm(w, h, seed=6)

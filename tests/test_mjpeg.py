@@ -110,7 +110,11 @@ def _cli_env():
     import os
 
     env = dict(os.environ)
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu: this box exports JAX_PLATFORMS=axon globally, so a
+    # setdefault would leave the child pointed at the remote tunnel --
+    # which can be down for hours and hangs PJRT init inside a native
+    # call.  Tests must be deterministic and offline.
+    env["JAX_PLATFORMS"] = "cpu"
     return env
 
 
