@@ -137,9 +137,48 @@ def main():
     timeit("scan+sort", lambda: scan_sort(jwords, jnb, jsb, jsl, steps))
 
     # ---- full probe+match ---------------------------------------------
-    timeit("probe+match", lambda: spec._probe_match(
+    timeit("probe+match (flat)", lambda: spec._probe_match(
         plan, jwords, jrow, jsucc, jvar, jnb, jsb, jsl, vm0, steps, chain,
         R, ov_bits, cb_bits, reps=bpm)[0])
+
+    # ---- production two-phase probe+match (merge-kill + roster) --------
+    for kb in (2, 1):
+        timeit(f"probe+match (kill={spec.KILL_STEPS} kb={kb})",
+               lambda kb=kb: spec._probe_match(
+                   plan, jwords, jrow, jsucc, jvar, jnb, jsb, jsl, vm0,
+                   steps, chain, R, ov_bits, cb_bits, reps=bpm,
+                   kill_steps=spec.KILL_STEPS, kb=kb)[0])
+
+    # ---- final decode at the production shape --------------------------
+    # Junk-but-shape-true inputs: every chunk starts at bit 0 / slot 0 of
+    # its window and owns a full-chunk span; per-step cost is content-
+    # independent (lanes that die keep paying selects), so the timing is
+    # representative of the real final pass.
+    total_blocks = sum(geom.by_id(cid).n_blocks
+                       for cid in scan.info.component_ids)
+    F = 8
+    frame_row_base = (np.repeat(np.arange(F, dtype=np.int64) * total_blocks,
+                                np.diff(row_base).astype(np.int64))
+                      ).astype(np.int32)
+    frame_first = np.repeat(row_base[:-1],
+                            np.diff(row_base).astype(np.int64)
+                            ).astype(np.int32)
+    blocks_per_row = bpm * (cb_bits // 24)  # generous per-chunk block cap
+    g0 = (np.arange(R, dtype=np.int64)
+          - np.repeat(row_base[:-1], np.diff(row_base).astype(np.int64))
+          ) * blocks_per_row
+    nblk = np.full(R, blocks_per_row, np.int32)
+    fsteps = int(win * 8 * 2 // 9 + 96 + 63) // 64 * 64
+    nrows = F * total_blocks
+    j_frb = jnp.asarray(frame_row_base)
+    j_wb = jnp.asarray(win_bits.astype(np.int32))
+    j_ff = jnp.asarray(frame_first)
+    z = jnp.zeros(R, jnp.int32)
+    timeit(f"final[{R}rows x {fsteps}steps -> {nrows} blk]",
+           lambda: spec._final_decode(
+               plan, jwords, j_frb, j_wb, z, z,
+               jnp.asarray(np.minimum(g0, total_blocks - 1).astype(np.int32)),
+               jnp.asarray(nblk), j_ff, fsteps, nrows, chain)[0])
 
 
 if __name__ == "__main__":
