@@ -55,7 +55,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .lockstep import ScanPlan
 
 TILE = 128  # lanes per grid cell (region tile: [TILE, RB*64] int32)
-MACRO = 8  # emission columns fetched per inner-loop iteration
+# Emission columns fetched per inner-loop iteration.  128 because newer
+# Mosaic lowerings require dynamic minor-axis slice offsets provably
+# 128-aligned (vector.load of a [TILE, MACRO] tile); the per-tile step
+# bound therefore rounds up to 128, which costs <6% extra selects at
+# the bench shape and nothing at all once tiles are step-homogeneous.
+MACRO = 128
 RB_MAX = 64  # region blocks cap (VMEM: 64*64*4*TILE = 2 MB/tile)
 
 
@@ -83,6 +88,7 @@ def placement_eligible(plan: ScanPlan, ri: int, segs_per_frame: int) -> bool:
 def _region_kernel(bpm: int, rbw: int, steps: int):
     def kernel(ts_ref, emk_ref, emv_ref, out_ref):
         iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, rbw), 1)
+        tile_steps = ts_ref[pl.program_id(0)]
 
         def body(m, region):
             base = pl.multiple_of(m * MACRO, MACRO)
@@ -97,7 +103,7 @@ def _region_kernel(bpm: int, rbw: int, steps: int):
             return region
 
         # (not pl.cdiv: under jax_enable_x64 its literal promotes to i64)
-        n_macro = (ts_ref[0, 0] + jnp.int32(MACRO - 1)) // jnp.int32(MACRO)
+        n_macro = (tile_steps + jnp.int32(MACRO - 1)) // jnp.int32(MACRO)
         out_ref[:] = jax.lax.fori_loop(
             0, n_macro, body, jnp.zeros((TILE, rbw), jnp.int32)
         )
@@ -122,14 +128,16 @@ def _place_region(em_key, em_val, nsteps, bpm: int, rb: int,
     emk = jnp.pad(em_key.T, ((0, pad), (0, spad)))
     emv = jnp.pad(em_val.T, ((0, pad), (0, spad)))
     steps += spad
-    ts = jnp.pad(nsteps, (0, pad)).reshape(-1, TILE).max(axis=1)[:, None]
+    # Whole [n_tiles] vector in SMEM, indexed by program_id: newer
+    # Pallas lowerings reject sub-(8, 128) 2-D block shapes even in
+    # SMEM, and the per-tile bound is a scalar read either way.
+    ts = jnp.pad(nsteps, (0, pad)).reshape(-1, TILE).max(axis=1)
     grid = ((s + pad) // TILE,)
     region = pl.pallas_call(
         _region_kernel(bpm, rbw, steps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE, steps), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE, steps), lambda i: (i, 0),
