@@ -30,9 +30,10 @@ read-modify-writes.  Two further structural wins ride along:
     XLA fuses into the dense stage's first read.
 
 Emissions stream in as [S, steps] (transposed once in XLA); the inner
-loop fetches 8 columns per macro-step so the dynamic minor-axis slice
-amortizes.  Slots are write-once (the scan engine's single-stream
-invariant), so select order never matters.
+loop fetches ``MACRO`` (128) columns per macro-step so the dynamic
+minor-axis slice amortizes and stays provably 128-aligned for Mosaic.
+Slots are write-once (the scan engine's single-stream invariant), so
+select order never matters.
 
 Eligibility (``placement_eligible``): interleaved single-scan frames
 whose restart interval divides both the MCU count and the MCU row
@@ -89,8 +90,14 @@ def _region_kernel(bpm: int, rbw: int, steps: int):
     def kernel(ts_ref, emk_ref, emv_ref, out_ref):
         iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, rbw), 1)
         tile_steps = ts_ref[pl.program_id(0)]
+        # Accumulate IN PLACE in the output ref.  A functional fori_loop
+        # carrying the [TILE, rbw] region through a 128-deep unrolled
+        # select chain makes Mosaic stack ~23 live copies of the region
+        # (17.9 MB scoped-VMEM OOM at the bench shape, rbw=1536); the
+        # ref store keeps exactly one region buffer live.
+        out_ref[:] = jnp.zeros((TILE, rbw), jnp.int32)
 
-        def body(m, region):
+        def body(m, carry):
             base = pl.multiple_of(m * MACRO, MACRO)
             kb = emk_ref[:, pl.ds(base, MACRO)]
             vb = emv_ref[:, pl.ds(base, MACRO)]
@@ -99,14 +106,13 @@ def _region_kernel(bpm: int, rbw: int, steps: int):
                 v = vb[:, j : j + 1]
                 kk = k - 1
                 flat = ((kk >> 10) * bpm + ((kk >> 6) & 15)) * 64 + (kk & 63)
-                region = jnp.where((iota == flat) & (k > 0), v, region)
-            return region
+                out_ref[:] = jnp.where((iota == flat) & (k > 0), v,
+                                       out_ref[:])
+            return carry
 
         # (not pl.cdiv: under jax_enable_x64 its literal promotes to i64)
         n_macro = (tile_steps + jnp.int32(MACRO - 1)) // jnp.int32(MACRO)
-        out_ref[:] = jax.lax.fori_loop(
-            0, n_macro, body, jnp.zeros((TILE, rbw), jnp.int32)
-        )
+        jax.lax.fori_loop(0, n_macro, body, jnp.int32(0))
 
     return kernel
 
@@ -125,29 +131,36 @@ def _place_region(em_key, em_val, nsteps, bpm: int, rb: int,
     rbw = rbp * 64
     pad = (-s) % TILE
     spad = (-steps) % 128  # minor-axis tiling + macro-fetch slack
-    emk = jnp.pad(em_key.T, ((0, pad), (0, spad)))
-    emv = jnp.pad(em_val.T, ((0, pad), (0, spad)))
-    steps += spad
-    # Whole [n_tiles] vector in SMEM, indexed by program_id: newer
-    # Pallas lowerings reject sub-(8, 128) 2-D block shapes even in
-    # SMEM, and the per-tile bound is a scalar read either way.
-    ts = jnp.pad(nsteps, (0, pad)).reshape(-1, TILE).max(axis=1)
-    grid = ((s + pad) // TILE,)
-    region = pl.pallas_call(
-        _region_kernel(bpm, rbw, steps),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE, steps), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, steps), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE, rbw), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((s + pad, rbw), jnp.int32),
-        interpret=interpret,
-    )(ts.astype(jnp.int32), emk, emv)
+    # The whole placement is int32; trace it with x64 OFF.  The package
+    # enables jax_enable_x64 globally, and under x64 the BlockSpec index
+    # maps trace to i64-returning MLIR functions that Mosaic cannot
+    # legalize ("failed to legalize operation 'func.return' (i64)" --
+    # this killed BENCH_r03 on real TPU; reproduced with a trivial
+    # gridded kernel, fixed by this scope alone).
+    with jax.enable_x64(False):
+        emk = jnp.pad(em_key.T, ((0, pad), (0, spad)))
+        emv = jnp.pad(em_val.T, ((0, pad), (0, spad)))
+        steps += spad
+        # Whole [n_tiles] vector in SMEM, indexed by program_id: newer
+        # Pallas lowerings reject sub-(8, 128) 2-D block shapes even in
+        # SMEM, and the per-tile bound is a scalar read either way.
+        ts = jnp.pad(nsteps, (0, pad)).reshape(-1, TILE).max(axis=1)
+        grid = ((s + pad) // TILE,)
+        region = pl.pallas_call(
+            _region_kernel(bpm, rbw, steps),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((TILE, steps), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, steps), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE, rbw), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((s + pad, rbw), jnp.int32),
+            interpret=interpret,
+        )(ts.astype(jnp.int32), emk, emv)
     return region[:s, : rb * 64]
 
 

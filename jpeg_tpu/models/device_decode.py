@@ -44,6 +44,19 @@ from ..ops.resample import upsample_nn
 from ..utils.floatops import roundf
 
 
+def _is_pallas_compile_error(e: Exception) -> bool:
+    """True when an exception looks like a Pallas/Mosaic kernel COMPILE
+    failure (vs a data/shape error we must not mask).  Matched on the
+    message because the backend surfaces these as generic
+    JaxRuntimeError/XlaRuntimeError wrappers."""
+    msg = f"{type(e).__name__}: {e}"
+    return any(
+        key in msg
+        for key in ("Mosaic", "mosaic", "pallas", "Pallas",
+                    "failed to legalize")
+    )
+
+
 def _decode_impl(
     plan: ScanPlan,
     geom: FrameGeometry,
@@ -470,7 +483,34 @@ class DeviceDecoder:
         """Dispatch one prepared chunk (async) -> (pixels, aux, steps,
         nsteps-or-None), aux = [starved, decoded_mcus] int32 device
         scalars (read lazily).  ``learn`` additionally returns the
-        per-lane consumed-step vector for the phased-scan training."""
+        per-lane consumed-step vector for the phased-scan training.
+
+        If the Pallas region-placement kernel fails to COMPILE on this
+        backend (a Mosaic lowering regression killed BENCH_r03 outright),
+        fall back to the scatter path once and stay there -- a slower
+        decode beats a dead one.
+        """
+        try:
+            return self._dispatch_prepared(prepared, frames, learn)
+        except Exception as e:  # noqa: BLE001 -- compile-time backend errors
+            if not self.place_ri or not _is_pallas_compile_error(e):
+                raise
+            from ..utils.metrics import default_metrics
+
+            default_metrics.count("device_decode.pallas_compile_fallbacks")
+            import warnings
+
+            warnings.warn(
+                "Pallas region-placement kernel failed to compile on this "
+                f"backend ({type(e).__name__}); falling back to the scatter "
+                "placement path for this stream",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self.place_ri = 0
+            return self._dispatch_prepared(prepared, frames, learn)
+
+    def _dispatch_prepared(self, prepared, frames: int, learn: bool = False):
         kind, data, starts, nbits, qts = prepared
         nb64 = nbits.astype(np.int64)
         # Aggressive step bound from the ACTUAL chunk, raised to any bound
