@@ -1,6 +1,6 @@
 """Benchmark: Motion-JPEG 1080p 4:2:0 decode throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line -- ALWAYS, no matter which sections fail or stall:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
 
 Primary metric: sustained stream decode to DEVICE-resident uint8 frames
@@ -9,16 +9,26 @@ entropy + dense decode run on the chip, pixels stay in HBM for
 downstream models).  A 64-frame stream is decoded in pipelined chunks;
 host prep (native scan/unstuff/pack) and uploads overlap device decode.
 
-Jitter defense (the shared box drifts 3-10x in phases): every timed
-section repeats ADAPTIVELY -- at least MIN_REPS, then keeps going until
-STABLE consecutive reps land within TOL of the running best (evidence
-the box is in a fast phase and the best has converged), up to MAX_REPS.
-Best-of is reported.  Back-to-back runs should agree within ~5%.
+Termination contract (the BENCH_r04 post-mortem: a surprise mid-timing
+XLA recompile burned 900 s and the driver's timeout killed the process
+before the JSON line printed):
+  * a GLOBAL wall deadline (JPEG_TPU_BENCH_DEADLINE_S, default 840 s)
+    is checked before every optional section -- late sections skip;
+  * every section runs under a re-armed SIGALRM budget, so no single
+    section can eat the rest of the run;
+  * the JSON line prints in a ``finally`` with whatever keys completed;
+  * a daemon WATCHDOG thread emits the line and exits the process if
+    the main thread is stuck inside an uninterruptible C call (an XLA
+    compile does not deliver signals until it returns);
+  * risky sections run LAST: encode evidence lands before the
+    speculative RST-less section can spend its compile budget, and the
+    RST-less warmup uses mjpeg.warm_stream_device (learned-statics
+    fixed point) so its timed reps never recompile.
 
-Secondary numbers (stderr + extra JSON keys): device-resident decode
-rate (uploads excluded -- what a PCIe-attached host would see), device
-encode with default and optimized (two-pass K.2) tables, and the
-speculative RST-less stream decode rate.
+Jitter defense (the shared box drifts 3-10x in phases): every timed
+section repeats ADAPTIVELY -- at least min_reps, then keeps going until
+STABLE consecutive reps land within TOL of the running best, up to
+max_reps AND a per-section wall budget.  Best-of is reported.
 
 Baseline: the reference C decoder (single core, its only mode) on the
 same frames, measured BEFORE the TPU runtime starts so its busy-wait
@@ -28,9 +38,12 @@ threads don't starve the baseline.
 from __future__ import annotations
 
 import json
+import os
+import signal
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 from pathlib import Path
 
@@ -46,23 +59,124 @@ RESTART_INTERVAL = 4  # MCUs per segment -> 2040 lanes/frame at 1080p 4:2:0
 CHUNK = 8  # frames per pipelined chunk inside decode_batch
 
 # Adaptive repeat policy (see module docstring).
-MIN_REPS = 6
-MAX_REPS = 18
 STABLE = 3
 TOL = 0.04
+
+# Global wall budget; the driver's own timeout must be comfortably above.
+DEADLINE_S = float(os.environ.get("JPEG_TPU_BENCH_DEADLINE_S", "840"))
+# Watchdog hard-kill: fires only when the main thread is wedged in a C
+# call past the deadline (signals can't interrupt an XLA compile).
+HARD_KILL_S = float(
+    os.environ.get("JPEG_TPU_BENCH_HARD_KILL_S", str(DEADLINE_S + 300))
+)
+
+_T0 = time.monotonic()
 
 log = lambda *a: print(*a, file=sys.stderr, flush=True)  # noqa: E731
 
 
+def left() -> float:
+    """Seconds remaining until the global deadline."""
+    return DEADLINE_S - (time.monotonic() - _T0)
+
+
+# ---- guaranteed single JSON emission --------------------------------
+RESULT = {
+    "metric": "mjpeg_1080p_420_stream_decode_to_device_Mpix_per_s_per_chip",
+    "value": 0.0,
+    "unit": "Mpix/s",
+    "vs_baseline": None,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = [False]
+
+
+def emit() -> bool:
+    """Print the JSON line exactly once; True if this call printed it."""
+    with _EMIT_LOCK:
+        if _EMITTED[0]:
+            return False
+        _EMITTED[0] = True
+    print(json.dumps(RESULT), flush=True)
+    return True
+
+
+def _watchdog() -> None:
+    end = _T0 + HARD_KILL_S
+    while True:
+        dt = end - time.monotonic()
+        if dt <= 0:
+            break
+        time.sleep(min(dt, 5.0))
+    if emit():
+        log(f"bench: watchdog hard-kill at {HARD_KILL_S:.0f}s -- main "
+            "thread wedged (XLA compile?); emitted partial result")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(2)
+
+
+class SectionTimeout(Exception):
+    pass
+
+
+class section:
+    """SIGALRM-armed wall budget for one bench section.
+
+    On expiry -- or ANY exception when the section is optional -- logs
+    and suppresses, so later sections and the final JSON still run.
+    The alarm re-arms per section (BENCH_r04's guard was disarmed
+    forever after the first compile).  An uninterruptible C call delays
+    signal delivery until it returns; the watchdog is the backstop.
+    """
+
+    def __init__(self, label: str, budget_s: float, required: bool = False):
+        self.label = label
+        self.budget_s = max(1.0, budget_s)
+        self.required = required
+        self._old = None
+
+    def __enter__(self):
+        def _h(signum, frame):
+            raise SectionTimeout(
+                f"{self.label}: exceeded {self.budget_s:.0f}s budget"
+            )
+
+        try:
+            self._old = signal.signal(signal.SIGALRM, _h)
+            signal.alarm(int(self.budget_s))
+        except (ValueError, OSError):
+            self._old = None  # non-main thread / unsupported: no guard
+        return self
+
+    def __exit__(self, et, ev, tb):
+        try:
+            signal.alarm(0)
+            if self._old is not None:
+                signal.signal(signal.SIGALRM, self._old)
+        except (ValueError, OSError):
+            pass
+        if et is None:
+            return False
+        if issubclass(et, (SystemExit, KeyboardInterrupt)):
+            return False
+        log(f"bench: section '{self.label}' skipped: "
+            f"{et.__name__}: {ev}")
+        RESULT.setdefault("skipped", []).append(self.label)
+        return not self.required
+
+
 def stable_best(fn, mpix: float, label: str,
-                min_reps: int = MIN_REPS, max_reps: int = MAX_REPS,
-                stable: int = STABLE, tol: float = TOL) -> float:
+                min_reps: int = 4, max_reps: int = 12,
+                stable: int = STABLE, tol: float = TOL,
+                budget_s: float = 60.0) -> float:
     """Best-of Mpix/s with adaptive reps.  ``fn()`` runs one full timed
     unit and blocks until the result is ready; ``mpix`` is the Mpix it
     covers.  Stops once `stable` consecutive reps fail to beat the best
     by more than `tol` AND sit within `tol` of it (fast-phase evidence),
-    or at max_reps."""
+    at max_reps, or when the section's wall budget runs out."""
     best, near = 0.0, 0
+    t_start = time.perf_counter()
     for rep in range(max_reps):
         t0 = time.perf_counter()
         fn()
@@ -76,6 +190,10 @@ def stable_best(fn, mpix: float, label: str,
         log(f"  {label}: rep {rep + 1} {dt:.3f}s -> {r:.1f} Mpix/s"
             f" (best {best:.1f}, stable {near}/{stable})")
         if rep + 1 >= min_reps and near >= stable:
+            break
+        if time.perf_counter() - t_start > budget_s:
+            log(f"  {label}: wall budget {budget_s:.0f}s spent after "
+                f"rep {rep + 1}; reporting best so far")
             break
     return best
 
@@ -96,7 +214,7 @@ def make_frame_ppm(seed: int) -> bytes:
     return b"P6\n%d %d\n255\n" % (WIDTH, HEIGHT) + samples.tobytes()
 
 
-def time_reference(jpegs: list) -> float:
+def time_reference(jpegs: list, budget_s: float) -> float:
     """Mpix/s of the reference decoder binary; 0.0 if unavailable."""
     try:
         from refbin import ensure_reference_binaries
@@ -124,31 +242,28 @@ def time_reference(jpegs: list) -> float:
 
         try:
             mpix = len(jpegs) * WIDTH * HEIGHT / 1e6
-            return stable_best(one, mpix, "reference", min_reps=4, max_reps=8)
+            return stable_best(one, mpix, "reference", min_reps=3,
+                               max_reps=8, budget_s=budget_s)
         except RuntimeError:
             return 0.0
 
 
 def main() -> None:
-    # Hang guard: the remote TPU tunnel can go down for hours on this
-    # box, and a bench that blocks forever in backend init is worse
-    # than one that fails loudly.  The alarm covers corpus encode +
-    # reference baseline + TPU init + first compile, and is cancelled
-    # once the first real device work completes.
-    import signal
-
-    def _hang(signum, frame):
-        log("bench: TPU backend unreachable (init/first-compile exceeded "
-            "the hang guard); no measurement possible")
-        raise SystemExit(3)
-
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
-        signal.signal(signal.SIGALRM, _hang)
-        signal.alarm(int(__import__("os").environ.get(
-            "JPEG_TPU_BENCH_GUARD_S", "900")))
-    except (ValueError, OSError):
-        pass  # non-main thread or unsupported platform: no guard
+        _run_sections()
+    except KeyboardInterrupt:
+        raise
+    except BaseException as e:  # noqa: BLE001 -- the line must print
+        import traceback
 
+        traceback.print_exc(file=sys.stderr)
+        RESULT["error"] = f"{type(e).__name__}: {e}"
+    finally:
+        emit()
+
+
+def _run_sections() -> None:
     # ---- encode the corpus on CPU (before the TPU runtime wakes up) ---
     import jax
 
@@ -168,164 +283,181 @@ def main() -> None:
         h=2, v=2, quality=75, optimize=False,  # shared (MJPEG) tables
         restart_interval=RESTART_INTERVAL, exact=False,
     )
-    unique = [encode_jpeg(make_frame_ppm(s), params) for s in range(UNIQUE)]
+    with section("corpus-encode", 300, required=True):
+        unique = [encode_jpeg(make_frame_ppm(s), params) for s in range(UNIQUE)]
     jpegs = [unique[s % UNIQUE] for s in range(FRAMES)]
     log(f"encoded {UNIQUE} unique frames -> {FRAMES}-frame stream, "
         f"{sum(map(len, jpegs))/1e6:.1f} MB total")
 
     # Reference throughput is per-frame; timing the unique frames suffices.
-    baseline = time_reference(unique)
+    baseline = 0.0
+    with section("reference-baseline", 120):
+        baseline = time_reference(unique, budget_s=45)
     log(f"reference baseline: {baseline:.1f} Mpix/s (single core)")
-
-    extra = {}
+    RESULT["baseline_Mpix_s"] = round(baseline, 1)
 
     # ---- device batch decode (the headline) ---------------------------
     log(f"devices: {jax.devices()}")
     from jpeg_tpu.models.device_decode import DeviceDecoder
 
     dec = DeviceDecoder.for_stream(jpegs[0])
-    t0 = time.perf_counter()
-    out = dec.decode_batch(jpegs, chunk=CHUNK)
-    out.block_until_ready()
-    try:
-        signal.alarm(0)  # device reachable and compiling: guard off
-    except (ValueError, OSError):
-        pass
-    log(f"warmup (compile): {time.perf_counter()-t0:.1f}s; out {out.shape} {out.dtype}")
+    with section("decode-warmup", min(540.0, max(60.0, left() - 120)),
+                 required=True):
+        t0 = time.perf_counter()
+        out = dec.decode_batch(jpegs, chunk=CHUNK)
+        out.block_until_ready()
+        log(f"warmup (compile): {time.perf_counter()-t0:.1f}s; "
+            f"out {out.shape} {out.dtype}")
 
     def one_stream():
         dec.decode_batch(jpegs, chunk=CHUNK).block_until_ready()
 
-    best = stable_best(one_stream, FRAMES * WIDTH * HEIGHT / 1e6, "stream decode")
-    log(f"stream decode best: {best:.1f} Mpix/s")
+    with section("stream-decode", max(20.0, min(90.0, left() - 60))):
+        best = stable_best(one_stream, FRAMES * WIDTH * HEIGHT / 1e6,
+                           "stream decode", min_reps=5, max_reps=18,
+                           budget_s=max(15.0, min(75.0, left() - 60)))
+        log(f"stream decode best: {best:.1f} Mpix/s")
+        RESULT["value"] = round(best, 2)
+        RESULT["vs_baseline"] = (
+            round(best / baseline, 2) if baseline else None
+        )
 
     # ---- device-resident decode rate (uploads excluded) ---------------
     # The dev tunnel here moves ~25 MB/s, which pins the end-to-end
-    # number at (stream bytes / 25 MB/s); re-decoding device-resident
+    # number at (stream bytes / tunnel rate); re-decoding device-resident
     # words shows what a PCIe-attached host would sustain.  Amortized:
     # 8 async dispatches per timed unit, one sync.
-    try:
-        prepared = dec.prepare(jpegs[:CHUNK])
-        kind, data, starts, nbits, qts = prepared
-        # Pin the prepared chunk on device, then re-dispatch through the
-        # decoder's own path selection (scatter / phased / Pallas region
-        # placement) so this probe always measures the production route.
-        dd = jax.device_put(np.asarray(data))
-        starts_d = (
-            jax.device_put(np.asarray(starts)) if starts is not None else None
-        )
-        prepared_dev = (kind, dd, starts_d, nbits, qts)
-        log(f"device-resident probe: kind={kind} place_ri={dec.place_ri}")
-        fn = lambda: dec._decode_prepared(prepared_dev, CHUNK)[0]  # noqa: E731
-        jax.block_until_ready(fn())
+    if left() > 90:
+        with section("device-resident", max(30.0, left() - 30)):
+            prepared = dec.prepare(jpegs[:CHUNK])
+            kind, data, starts, nbits, qts = prepared
+            # Pin the prepared chunk on device, then re-dispatch through
+            # the decoder's own path selection (scatter / phased /
+            # Pallas region placement) so this probe always measures the
+            # production route.
+            dd = jax.device_put(np.asarray(data))
+            starts_d = (
+                jax.device_put(np.asarray(starts))
+                if starts is not None else None
+            )
+            prepared_dev = (kind, dd, starts_d, nbits, qts)
+            log(f"device-resident probe: kind={kind} place_ri={dec.place_ri}")
+            fn = lambda: dec._decode_prepared(prepared_dev, CHUNK)[0]  # noqa: E731
+            jax.block_until_ready(fn())
 
-        def one_resident():
-            rs = [fn() for _ in range(8)]
-            jax.block_until_ready(rs[-1])
+            def one_resident():
+                rs = [fn() for _ in range(8)]
+                jax.block_until_ready(rs[-1])
 
-        dr = stable_best(
-            one_resident, 8 * CHUNK * WIDTH * HEIGHT / 1e6,
-            "device-resident", min_reps=4, max_reps=12,
-        )
-        log(f"device-resident decode ({kind}; words already in HBM): "
-            f"{dr:.1f} Mpix/s")
-        extra["device_resident_decode_Mpix_s"] = round(dr, 1)
-    except Exception as e:  # diagnostic only; never fail the bench
-        log(f"device-resident probe skipped: {type(e).__name__}: {e}")
+            dr = stable_best(
+                one_resident, 8 * CHUNK * WIDTH * HEIGHT / 1e6,
+                "device-resident", min_reps=4, max_reps=12, budget_s=40,
+            )
+            log(f"device-resident decode ({kind}; words already in HBM): "
+                f"{dr:.1f} Mpix/s")
+            RESULT["device_resident_decode_Mpix_s"] = round(dr, 1)
+
+    # ---- device-side encode (pixels in HBM -> JPEG bytes) -------------
+    # Encode runs BEFORE the speculative section: its evidence must not
+    # depend on the riskiest section's compile appetite (BENCH_r04 died
+    # with no encode numbers at all).
+    import jpeg_tpu
+    from jpeg_tpu.utils.pnm import read_pnm
+
+    enc = None
+    if left() > 120:
+        with section("device-encode", max(45.0, left() - 30)):
+            pix = np.stack(
+                [read_pnm(make_frame_ppm(s)).data for s in range(UNIQUE)]
+            )
+            dpix = jax.device_put(pix.astype(np.uint8))
+            enc = jpeg_tpu.DeviceEncoder.for_config(HEIGHT, WIDTH, 3, params)
+            enc.encode_batch(dpix)  # warm/compile
+            be = stable_best(lambda: enc.encode_batch(dpix),
+                             UNIQUE * WIDTH * HEIGHT / 1e6, "device encode",
+                             min_reps=4, max_reps=12, budget_s=35)
+            log(f"device encode (HBM pixels -> JPEG): {be:.1f} Mpix/s")
+            RESULT["device_encode_Mpix_s"] = round(be, 1)
+
+    if enc is not None and left() > 80:
+        with section("device-encode-compute", max(35.0, left() - 30)):
+            # Device COMPUTE alone (dense + entropy + compaction, words
+            # stay in HBM): end-to-end encode on this box is bound by
+            # pulling the JPEG payload through the ~25 MB/s dev tunnel
+            # (encode roofline, docs/ARCHITECTURE.md); this is the
+            # number a PCIe-attached host sees.
+            def enc_compute():
+                rs = [enc._dispatch(dpix[lo:lo + 8], 8, enc.ehufco,
+                                    enc.ehufsi, False)
+                      for lo in range(0, UNIQUE, 8)]
+                jax.block_until_ready([r[0] for r in rs])
+
+            bc = stable_best(enc_compute, UNIQUE * WIDTH * HEIGHT / 1e6,
+                             "device encode compute", min_reps=4,
+                             max_reps=12, budget_s=35)
+            log(f"device encode compute (words stay in HBM): {bc:.1f} Mpix/s")
+            RESULT["device_encode_compute_Mpix_s"] = round(bc, 1)
+
+    if enc is not None and left() > 80:
+        with section("encode-optimize", max(45.0, left() - 30)):
+            # Two-pass optimized-table path (on-device histogram psum +
+            # K.2 + second pass) -- the flagship optimize=True pipeline.
+            enc.encode_batch(dpix, optimize=True)  # warm/compile
+            bo = stable_best(
+                lambda: enc.encode_batch(dpix, optimize=True),
+                UNIQUE * WIDTH * HEIGHT / 1e6, "encode optimize=True",
+                min_reps=3, max_reps=8, budget_s=35)
+            log(f"device encode optimize=True (two-pass K.2): {bo:.1f} Mpix/s")
+            RESULT["device_encode_optimized_Mpix_s"] = round(bo, 1)
 
     # ---- speculative RST-less stream decode ---------------------------
     # Streams WITHOUT restart markers: the reference reads them strictly
     # serially (decoder.c:364-388); the speculative chunked engine is the
-    # TPU answer.  Same content, restart_interval=0.
-    try:
-        from jpeg_tpu import mjpeg
+    # TPU answer.  Runs LAST (fresh learned statics can compile for
+    # minutes) and warms to the learned-state fixed point so the timed
+    # reps never recompile.
+    if left() > 120:
+        with section("rstless-decode", max(60.0, left() - 20)):
+            from jpeg_tpu import mjpeg
 
-        params_rl = EncodeParams(h=2, v=2, quality=75, optimize=False,
-                                 restart_interval=0, exact=False)
-        n_rl = 8
-        rl_unique = [encode_jpeg(make_frame_ppm(s), params_rl)
-                     for s in range(min(UNIQUE, n_rl))]
-        rl_stream = b"".join(rl_unique[s % len(rl_unique)] for s in range(n_rl))
-        px = mjpeg.decode_stream_device(rl_stream)
-        jax.block_until_ready(px)
+            params_rl = EncodeParams(h=2, v=2, quality=75, optimize=False,
+                                     restart_interval=0, exact=False)
+            n_rl = 8
+            rl_unique = [encode_jpeg(make_frame_ppm(s), params_rl)
+                         for s in range(min(UNIQUE, n_rl))]
+            rl_stream = b"".join(
+                rl_unique[s % len(rl_unique)] for s in range(n_rl)
+            )
+            t0 = time.perf_counter()
+            mjpeg.warm_stream_device(
+                rl_stream, budget_s=max(30.0, left() - 60)
+            )
+            log(f"rstless warm (to learned fixed point): "
+                f"{time.perf_counter()-t0:.1f}s")
 
-        def one_rl():
-            jax.block_until_ready(mjpeg.decode_stream_device(rl_stream))
+            def one_rl():
+                jax.block_until_ready(mjpeg.decode_stream_device(rl_stream))
 
-        sp = stable_best(one_rl, n_rl * WIDTH * HEIGHT / 1e6,
-                         "rstless decode", min_reps=2, max_reps=6)
-        log(f"speculative RST-less stream decode: {sp:.1f} Mpix/s "
-            f"(reference decodes these serially at ~{baseline:.0f})")
-        extra["rstless_stream_decode_Mpix_s"] = round(sp, 1)
-    except Exception as e:
-        log(f"RST-less probe skipped: {type(e).__name__}: {e}")
-
-    # ---- device-side encode (pixels in HBM -> JPEG bytes) -------------
-    import jpeg_tpu
-    from jpeg_tpu.utils.pnm import read_pnm
-
-    pix = np.stack([read_pnm(make_frame_ppm(s)).data for s in range(UNIQUE)])
-    dpix = jax.device_put(pix.astype(np.uint8))
-    try:
-        enc = jpeg_tpu.DeviceEncoder.for_config(HEIGHT, WIDTH, 3, params)
-        enc.encode_batch(dpix)  # warm/compile
-        be = stable_best(lambda: enc.encode_batch(dpix),
-                         UNIQUE * WIDTH * HEIGHT / 1e6, "device encode",
-                         min_reps=4, max_reps=12)
-        log(f"device encode (HBM pixels -> JPEG): {be:.1f} Mpix/s")
-        extra["device_encode_Mpix_s"] = round(be, 1)
-
-        # Device COMPUTE alone (dense + entropy + compaction, words stay
-        # in HBM): end-to-end encode on this box is bound by pulling the
-        # JPEG payload itself through the ~25 MB/s dev tunnel (see the
-        # encode roofline, docs/ARCHITECTURE.md); this is the number a
-        # PCIe-attached host sees.
-        def enc_compute():
-            rs = [enc._dispatch(dpix[lo:lo + 8], 8, enc.ehufco,
-                                enc.ehufsi, False)
-                  for lo in range(0, UNIQUE, 8)]
-            jax.block_until_ready([r[0] for r in rs])
-
-        bc = stable_best(enc_compute, UNIQUE * WIDTH * HEIGHT / 1e6,
-                         "device encode compute", min_reps=4, max_reps=12)
-        log(f"device encode compute (words stay in HBM): {bc:.1f} Mpix/s")
-        extra["device_encode_compute_Mpix_s"] = round(bc, 1)
-    except Exception as e:
-        log(f"device encode probe skipped: {type(e).__name__}: {e}")
-
-    # Two-pass optimized-table path (on-device histogram psum + K.2 +
-    # second pass) -- the flagship optimize=True pipeline.
-    try:
-        enc.encode_batch(dpix, optimize=True)  # warm/compile
-        bo = stable_best(lambda: enc.encode_batch(dpix, optimize=True),
-                         UNIQUE * WIDTH * HEIGHT / 1e6, "encode optimize=True",
-                         min_reps=3, max_reps=8)
-        log(f"device encode optimize=True (two-pass K.2): {bo:.1f} Mpix/s")
-        extra["device_encode_optimized_Mpix_s"] = round(bo, 1)
-    except Exception as e:
-        log(f"optimized encode probe skipped: {type(e).__name__}: {e}")
+            sp = stable_best(one_rl, n_rl * WIDTH * HEIGHT / 1e6,
+                             "rstless decode", min_reps=2, max_reps=6,
+                             budget_s=max(20.0, min(40.0, left() - 15)))
+            log(f"speculative RST-less stream decode: {sp:.1f} Mpix/s "
+                f"(reference decodes these serially at ~{baseline:.0f})")
+            RESULT["rstless_stream_decode_Mpix_s"] = round(sp, 1)
 
     # ---- decode to host (tunnel-bound in this environment) ------------
-    jpeg_tpu.decode_jpeg(jpegs[0], exact=False)  # warm
-    t0 = time.perf_counter()
-    jpeg_tpu.decode_jpeg(jpegs[1], exact=False)
-    dt = time.perf_counter() - t0
-    log(f"decode-to-host (native entropy + device dense): "
-        f"{WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s/frame "
-        f"[bounded by this dev host's ~25 MB/s device tunnel; "
-        f"PCIe-attached hosts move the same pixels ~100x faster]")
+    if left() > 40:
+        with section("decode-to-host", 35):
+            jpeg_tpu.decode_jpeg(jpegs[0], exact=False)  # warm
+            t0 = time.perf_counter()
+            jpeg_tpu.decode_jpeg(jpegs[1], exact=False)
+            dt = time.perf_counter() - t0
+            log(f"decode-to-host (native entropy + device dense): "
+                f"{WIDTH*HEIGHT/dt/1e6:.1f} Mpix/s/frame "
+                f"[bounded by this dev host's ~25 MB/s device tunnel; "
+                f"PCIe-attached hosts move the same pixels ~100x faster]")
 
-    print(
-        json.dumps(
-            {
-                "metric": "mjpeg_1080p_420_stream_decode_to_device_Mpix_per_s_per_chip",
-                "value": round(best, 2),
-                "unit": "Mpix/s",
-                "vs_baseline": round(best / baseline, 2) if baseline else None,
-                **extra,
-            }
-        )
-    )
+    log(f"bench complete with {left():.0f}s of deadline to spare")
 
 
 if __name__ == "__main__":

@@ -96,6 +96,35 @@ _learned_steps: Dict[Tuple[int, int], list] = {}
 KILL_STEPS = 192
 _learned_kb: Dict[Tuple[int, int], int] = {}
 
+# Learned bounds feed jit STATIC arguments (scan trip counts), so every
+# distinct value is a fresh XLA compile -- minutes on this toolchain.
+# Narrowed bounds are therefore quantized to coarse buckets (and adopted
+# only when they save at least a whole bucket), which makes the learned
+# state reach a FIXED POINT after one post-warmup run: warm-to-fixed-
+# point callers (mjpeg.warm_stream_device) loop until learned_snapshot()
+# stops changing, and timed runs after that never recompile.
+STEP_BUCKET = 512
+
+
+def _narrow(default: int, observed: int, margin: int, floor: int) -> int:
+    """Bucket-quantized narrowing of a static step bound: round the
+    observed need (+margin) UP to a STEP_BUCKET multiple and adopt it
+    only when that saves >= one full bucket vs the default -- otherwise
+    keep the default so the jit key never churns for small wins."""
+    cand = max(floor, -(-(observed + margin) // STEP_BUCKET) * STEP_BUCKET)
+    return cand if cand <= default - STEP_BUCKET else default
+
+
+def learned_snapshot():
+    """Hashable snapshot of every sticky learned value that feeds a jit
+    STATIC argument (probe/final step bounds, survivor-roster width).
+    Two equal snapshots around a decode mean the decode compiled nothing
+    new from learning -- the warm-to-fixed-point loop's stop test."""
+    return (
+        tuple(sorted((k, tuple(v)) for k, v in _learned_steps.items())),
+        tuple(sorted(_learned_kb.items())),
+    )
+
 
 def _spec_step(plan: ScanPlan, consts, carry):
     """One Huffman symbol on every speculative lane.
@@ -1016,7 +1045,9 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
             return None  # rounds exhausted; host walk takes over
     while fst and fsteps < fhard:
         default_metrics.count("speculative.final_retries")
-        fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+        fsteps = min(
+            fhard, -(-(fsteps * 3 // 2) // STEP_BUCKET) * STEP_BUCKET
+        )
         coeffs, fstarved_d, fsu_d = _final_decode(
             plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d, nblk_d,
             j_frame_first, fsteps, nrows, chain,
@@ -1241,12 +1272,10 @@ def _speculative_core_batch(
         steps = max(steps, learned[0])
         if learned[2]:
             # observed need (max consumed steps of authoritative lanes
-            # over this stream's batches) + margin; the starvation
+            # over this stream's batches) + margin, bucket-quantized so
+            # the narrowed jit key is a fixed point; the starvation
             # ladder is the backstop if content densifies mid-stream
-            steps = min(
-                steps,
-                max(KILL_STEPS + 64, (learned[2] + 160 + 63) // 64 * 64),
-            )
+            steps = _narrow(steps, learned[2], 160, KILL_STEPS + 64)
 
     jwords = jnp.asarray(words)
     jrow = jnp.asarray(row_of_lane)
@@ -1316,9 +1345,7 @@ def _speculative_core_batch(
     if learned is not None:
         fsteps0 = max(fsteps0, learned[1])
         if learned[3]:
-            fsteps0 = min(
-                fsteps0, max(192, (learned[3] + 128 + 63) // 64 * 64)
-            )
+            fsteps0 = _narrow(fsteps0, learned[3], 128, 192)
     fsteps0 = min(fsteps0, fhard)
     j_frame_first = jnp.asarray(frame_first)
     j_frb = jnp.asarray(frame_row_base.astype(np.int32))
@@ -1342,7 +1369,11 @@ def _speculative_core_batch(
                 if not bool(np.asarray(fstarved)) or fsteps >= fhard:
                     break
                 default_metrics.count("speculative.final_retries")
-                fsteps = (min(fhard, fsteps * 3 // 2) + 63) // 64 * 64
+                # bucket-quantized rungs: retries reuse compiled keys
+                fsteps = min(
+                    fhard,
+                    -(-(fsteps * 3 // 2) // STEP_BUCKET) * STEP_BUCKET,
+                )
         ent[1] = max(fsteps, ent[1])
         ent[3] = max(ent[3], int(np.asarray(fsu)))
         return coeffs

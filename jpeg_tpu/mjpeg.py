@@ -136,6 +136,39 @@ def decode_stream_device(data: bytes, chunk: int = 8):
     return dec.decode_batch(parts, chunk=chunk)
 
 
+def warm_stream_device(data: bytes, chunk: int = 8, max_rounds: int = 4,
+                       budget_s: Optional[float] = None):
+    """Warm every jit key ``decode_stream_device(data)`` will touch.
+
+    The speculative RST-less engine learns sticky step bounds that feed
+    jit STATIC arguments, so a plain warmup call can leave the NEXT call
+    facing a fresh XLA compile (minutes on this toolchain).  This loops
+    decode until the learned state reaches a fixed point (bucketed
+    bounds converge after at most one extra round; see
+    entropy/speculative.STEP_BUCKET), so timed runs that follow compile
+    nothing.  ``budget_s`` bounds the warm wall-clock: when exceeded the
+    loop stops early (callers time whatever state was reached).
+    Returns the last decoded batch.
+    """
+    import time
+
+    import jax
+
+    from .entropy import speculative
+
+    t0 = time.monotonic()
+    out = None
+    for _ in range(max(1, max_rounds)):
+        snap = speculative.learned_snapshot()
+        out = decode_stream_device(data, chunk=chunk)
+        jax.block_until_ready(out)
+        if speculative.learned_snapshot() == snap:
+            break
+        if budget_s is not None and time.monotonic() - t0 > budget_s:
+            break
+    return out
+
+
 def decode_stream(
     data: bytes, exact: bool = False, entropy: str = "auto"
 ) -> StreamResult:
