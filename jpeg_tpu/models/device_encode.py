@@ -59,35 +59,10 @@ class _Shape:
     width: int
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "geom", "ri", "frames", "n_segments", "words_per_seg", "icap",
-        "nz_cap", "wpb_cap", "with_hist", "phases", "with_nsym_hist",
-    ),
-)
-def _encode_device(
-    pixels,  # [F, H, W, C] uint8/uint16
-    qtables,  # [2, 64] int32 (luma, chroma)
-    visit_src,  # [Bf] int32: visit order -> row in concat(planes)
-    prev_idx,  # [Bf] int32: previous same-component block in segment, -1
-    dc_tab,  # [Bf] int32, NATURAL (component-major) order
-    ac_tab,  # [Bf] int32, natural order
-    seg_of,  # [Bf] int32, bitstream (visit) order
-    ehufco,  # [T, 256] int32
-    ehufsi,  # [T, 256] int32
-    geom: FrameGeometry,
-    ri: int,
-    frames: int,
-    n_segments: int,  # per frame
-    words_per_seg: int,
-    icap: int,
-    nz_cap: int = 16,
-    wpb_cap: int = 2,
-    with_hist: bool = False,
-    phases: tuple = (),
-    with_nsym_hist: bool = False,
-):
+def _pixels_to_zz(pixels, qtables, prev_idx, geom: FrameGeometry):
+    """Dense encode stage: [F, H, W, C] pixels -> [F * Bf, 64] zig-zag
+    blocks in NATURAL (component-major raster) order with differential
+    DC applied -- exactly the input shape of encode_scan_device3."""
     f = pixels.shape[0]
     x = pixels.astype(jnp.float32)
     pad_y = geom.size_y - geom.height
@@ -132,9 +107,17 @@ def _encode_device(
         0,
     )
     zz = jnp.concatenate([(dc - prev)[:, :, None], zz[:, :, 1:]], axis=2)
+    return zz.reshape(f * zz.shape[1], 64)
 
-    bf = zz.shape[1]
-    zzf = zz.reshape(f * bf, 64)
+
+def _entropy_tail(
+    zzf, visit_src, dc_tab, ac_tab, seg_of, ehufco, ehufsi,
+    frames: int, n_segments: int, words_per_seg: int, icap: int,
+    nz_cap: int, wpb_cap: int, with_hist: bool, phases: tuple,
+    with_nsym_hist: bool,
+):
+    """Entropy stage: natural-order zig-zag blocks -> packed segments."""
+    bf = zzf.shape[0] // frames
     tile = lambda a: jnp.tile(a, frames)  # noqa: E731
     seg_f = tile(seg_of) + (
         jnp.repeat(jnp.arange(frames, dtype=jnp.int32), bf) * n_segments
@@ -158,6 +141,84 @@ def _encode_device(
         with_hist=with_hist,
         phases=phases,
         with_nsym_hist=with_nsym_hist,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "geom", "ri", "frames", "n_segments", "words_per_seg", "icap",
+        "nz_cap", "wpb_cap", "with_hist", "phases", "with_nsym_hist",
+    ),
+)
+def _encode_device(
+    pixels,  # [F, H, W, C] uint8/uint16
+    qtables,  # [2, 64] int32 (luma, chroma)
+    visit_src,  # [Bf] int32: visit order -> row in concat(planes)
+    prev_idx,  # [Bf] int32: previous same-component block in segment, -1
+    dc_tab,  # [Bf] int32, NATURAL (component-major) order
+    ac_tab,  # [Bf] int32, natural order
+    seg_of,  # [Bf] int32, bitstream (visit) order
+    ehufco,  # [T, 256] int32
+    ehufsi,  # [T, 256] int32
+    geom: FrameGeometry,
+    ri: int,
+    frames: int,
+    n_segments: int,  # per frame
+    words_per_seg: int,
+    icap: int,
+    nz_cap: int = 16,
+    wpb_cap: int = 2,
+    with_hist: bool = False,
+    phases: tuple = (),
+    with_nsym_hist: bool = False,
+):
+    zzf = _pixels_to_zz(pixels, qtables, prev_idx, geom)
+    return _entropy_tail(
+        zzf, visit_src, dc_tab, ac_tab, seg_of, ehufco, ehufsi,
+        frames, n_segments, words_per_seg, icap, nz_cap, wpb_cap,
+        with_hist, phases, with_nsym_hist,
+    )
+
+
+@partial(jax.jit, static_argnames=("geom", "frames", "n_tables"))
+def _dense_hist_device(
+    pixels, qtables, prev_idx, dc_tab, ac_tab,
+    geom: FrameGeometry, frames: int, n_tables: int,
+):
+    """optimize=True pass 1: dense encode + dry-pass histogram, NO
+    entropy packing (write_ecs_dry semantics, encoder.c:525-558).
+    Returns (zzf, hist) -- zzf stays in HBM so pass 2 re-packs the SAME
+    quantized blocks instead of re-running color/DCT/quant from pixels.
+    """
+    from ..entropy.encode_jax import hist_from_blocks
+
+    zzf = _pixels_to_zz(pixels, qtables, prev_idx, geom)
+    hist = hist_from_blocks(
+        zzf, jnp.tile(dc_tab, frames), jnp.tile(ac_tab, frames), n_tables
+    )
+    return zzf, hist
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frames", "n_segments", "words_per_seg", "icap",
+        "nz_cap", "wpb_cap", "phases", "with_nsym_hist",
+    ),
+)
+def _entropy_only_device(
+    zzf, visit_src, dc_tab, ac_tab, seg_of, ehufco, ehufsi,
+    frames: int, n_segments: int, words_per_seg: int, icap: int,
+    nz_cap: int, wpb_cap: int, phases: tuple = (),
+    with_nsym_hist: bool = False,
+):
+    """optimize=True pass 2: re-pack HBM-resident quantized blocks with
+    the traded-in tables (write_ecs after write_ecs_dry)."""
+    return _entropy_tail(
+        zzf, visit_src, dc_tab, ac_tab, seg_of, ehufco, ehufsi,
+        frames, n_segments, words_per_seg, icap, nz_cap, wpb_cap,
+        False, phases, with_nsym_hist,
     )
 
 
@@ -552,12 +613,46 @@ class DeviceEncoder:
             grew = True
         return grew
 
-    def _run(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool):
-        """One device encode with the sticky-capacity retry loop."""
+    def _dispatch_zz(self, zzf, frames: int, ehufco, ehufsi):
+        """Queue one entropy-only device encode (async) over HBM-resident
+        quantized blocks -- the optimize=True pass 2 (no dense redo)."""
+        want_nsym = self.nsym_counts is None
+        self._last_phased = not want_nsym and bool(self._slot_phases(frames))
+        res = _entropy_only_device(
+            zzf,
+            jnp.asarray(self.visit_src),
+            jnp.asarray(self.dc_tab),
+            jnp.asarray(self.ac_tab),
+            jnp.asarray(self.seg_of),
+            jnp.asarray(ehufco),
+            jnp.asarray(ehufsi),
+            frames,
+            self.n_segments,
+            self.words_per_seg,
+            self.items_per_block,
+            self.nz_cap,
+            self.wpb_cap,
+            self._slot_phases(frames) if not want_nsym else (),
+            want_nsym,
+        )
+        if want_nsym:
+            self._pending_nsym = res[-1]
+            res = res[:-1]
+        return res
+
+    def _run(self, pixels, frames: int, ehufco, ehufsi, with_hist: bool,
+             zzf=None):
+        """One device encode with the sticky-capacity retry loop.
+        ``zzf`` switches to the entropy-only path (optimize pass 2)."""
         from ..utils.metrics import default_metrics
 
         while True:
-            res = self._dispatch(pixels, frames, ehufco, ehufsi, with_hist)
+            if zzf is not None:
+                res = self._dispatch_zz(zzf, frames, ehufco, ehufsi)
+            else:
+                res = self._dispatch(
+                    pixels, frames, ehufco, ehufsi, with_hist
+                )
             code = int(res[2])
             self._learn_nsym()  # n_sym is capacity-independent: the
             #                      histogram is valid even on overflow
@@ -589,15 +684,32 @@ class DeviceEncoder:
         else:
             spans = [(i, min(i + chunk, frames)) for i in range(0, frames, chunk)]
         ehufco, ehufsi, header = self.ehufco, self.ehufsi, self.header
+        zz_chunks = None
         if optimize:
             from ..tables import optimize_table
 
-            hist = None
+            # Pass 1 (write_ecs_dry analog): dense encode + dry-pass
+            # histogram only -- no entropy packing.  The quantized
+            # blocks stay DEVICE-RESIDENT so pass 2 re-packs them with
+            # the traded-in tables instead of re-running color/DCT/
+            # quant/zig-zag from pixels (encoder.c:525-587 two-pass).
+            # All chunks dispatch async; ONE sync pulls the summed hist.
+            zz_chunks, hists = [], []
+            pix_d = jnp.asarray(pixels)
             for lo, hi in spans:
-                h = np.asarray(
-                    self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, True)[4]
+                zzf, h = _dense_hist_device(
+                    pix_d[lo:hi],
+                    jnp.asarray(self.qtables),
+                    jnp.asarray(self.prev_idx),
+                    jnp.asarray(self.dc_tab),
+                    jnp.asarray(self.ac_tab),
+                    self.geom,
+                    hi - lo,
+                    len(self.table_keys),
                 )
-                hist = h if hist is None else hist + h
+                zz_chunks.append(zzf)
+                hists.append(h)
+            hist = np.asarray(sum(hists[1:], hists[0]))
             specs = dict(
                 (k, HuffSpec.from_pair(v)) for k, v in DEFAULT_HTABLES.items()
             )
@@ -622,9 +734,15 @@ class DeviceEncoder:
         if not self.tw_per_seg:
             self.tw_per_seg = (max(8, self.words_per_seg * 3 // 4) + 7) // 8 * 8
         pending = []
-        for lo, hi in spans:
+        for ci, (lo, hi) in enumerate(spans):
+            zzf = zz_chunks[ci] if zz_chunks is not None else None
             if not pending:
-                res = self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, False)
+                res = self._run(
+                    None if zzf is not None else pixels[lo:hi],
+                    hi - lo, ehufco, ehufsi, False, zzf=zzf,
+                )
+            elif zzf is not None:
+                res = self._dispatch_zz(zzf, hi - lo, ehufco, ehufsi)
             else:
                 res = self._dispatch(
                     pixels[lo:hi], hi - lo, ehufco, ehufsi, False
@@ -638,9 +756,9 @@ class DeviceEncoder:
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
-            pending.append((lo, hi, res, flat, total, tw_cap))
+            pending.append((ci, lo, hi, res, flat, total, tw_cap))
         out: List[bytes] = []
-        for lo, hi, res, flat, total, tw_cap in pending:
+        for ci, lo, hi, res, flat, total, tw_cap in pending:
             code = int(res[2])
             if code:
                 # A later chunk overflowed capacities the first chunk's
@@ -650,7 +768,11 @@ class DeviceEncoder:
                         f"device encode overflow (code={code:#06b}) with "
                         "all capacities at maximum"
                     )
-                res = self._run(pixels[lo:hi], hi - lo, ehufco, ehufsi, False)
+                zzf = zz_chunks[ci] if zz_chunks is not None else None
+                res = self._run(
+                    None if zzf is not None else pixels[lo:hi],
+                    hi - lo, ehufco, ehufsi, False, zzf=zzf,
+                )
                 flat = total = None
             if bool(res[3]):
                 raise UnsupportedError(
