@@ -44,6 +44,44 @@ from ..ops.resample import upsample_nn
 from ..utils.floatops import roundf
 
 
+_UPLOAD_RATE = [None]  # measured host->device B/s, once per process
+
+
+def _measured_upload_rate() -> float:
+    """Host->device upload bandwidth, measured once per process.
+
+    The rows-vs-flat prep trade hinges on it: padded rows upload ~2.5x
+    the compressed bytes but skip the on-device lane-matrix rebuild
+    gather (~6 ms per 8x1080p chunk); that is a win only when uploads
+    are effectively free (PCIe), a loss on a slow link (this dev box's
+    tunnel measured 29-67 MB/s, where flat more than doubled sustained
+    throughput).  8 MB probe, first transfer warms the connection.
+    """
+    if _UPLOAD_RATE[0] is None:
+        try:
+            buf = np.ones(2 << 20, np.uint32)  # 8 MB
+            jax.block_until_ready(jax.device_put(buf))
+            import time
+
+            t0 = time.perf_counter()
+            jax.block_until_ready(jax.device_put(buf))
+            _UPLOAD_RATE[0] = buf.nbytes / (time.perf_counter() - t0)
+        except Exception:  # backend unreachable: caller's dispatch fails too
+            _UPLOAD_RATE[0] = float("inf")
+        from ..utils.metrics import default_metrics
+
+        default_metrics.counters["device_decode.upload_Bps"] = int(
+            _UPLOAD_RATE[0] if np.isfinite(_UPLOAD_RATE[0]) else -1
+        )
+    return _UPLOAD_RATE[0]
+
+
+# Above this measured upload rate, the bigger rows upload costs less
+# than the flat mode's on-device rebuild gather saves (break-even
+# ~1.5x-payload / 6 ms-per-chunk ~= 470 MB/s at the bench shape).
+_ROWS_MIN_UPLOAD_BPS = 400e6
+
+
 def _is_pallas_compile_error(e: Exception) -> bool:
     """True when an exception looks like a Pallas/Mosaic kernel COMPILE
     failure (vs a data/shape error we must not mask).  Matched on the
@@ -256,12 +294,18 @@ class DeviceDecoder:
     scan_start: int = 0
     qtables: Optional[np.ndarray] = None
     wn: int = 0  # sticky lane-row width in u32 words (grows on demand)
+    flat_blen: int = 0  # sticky flat-buffer length (words): chunks whose
+    #   payload crosses a 256 KiB bucket boundary would otherwise change
+    #   the jit key and recompile mid-stream (~minutes on this box)
     # Native prep mode: "rows" writes the padded [S, wn] lane matrix
-    # directly (no device rebuild gather -- measured ~10 ms per 8-frame
-    # 1080p chunk -- at the cost of a ~2.5x larger upload, which the
-    # pipelined chunk loop hides); "flat" tight-packs and gathers
-    # on-device.  JPEG_TPU_PREP overrides for A/B.
-    prep_mode: str = "rows"
+    # directly (no device rebuild gather -- measured ~6 ms per 8-frame
+    # 1080p chunk -- at the cost of a ~2.5x larger upload); "flat"
+    # tight-packs and gathers on-device.  "auto" (default) measures the
+    # host->device upload rate once and picks: rows when uploads are
+    # effectively free (PCIe-class), flat on a slow link (sustained
+    # stream decode is UPLOAD-BOUND there; flat measured 317 vs 193
+    # Mpix/s on this box's tunnel).  JPEG_TPU_PREP overrides for A/B.
+    prep_mode: str = "auto"
     # Learned per-segment step bounds (from one classic chunk's per-lane
     # consumed-step counters): subsequent chunks write lane rows in
     # DESCENDING predicted order and run the phased narrowed scan, so
@@ -343,6 +387,12 @@ class DeviceDecoder:
         spf = self.segs_per_frame
         frames = len(jpegs)
         mode = os.environ.get("JPEG_TPU_PREP", self.prep_mode)
+        if mode == "auto":
+            self.prep_mode = mode = (
+                "rows"
+                if _measured_upload_rate() >= _ROWS_MIN_UPLOAD_BPS
+                else "flat"
+            )
         if mode == "rows":
             prepared = self._prepare_native_rows(jpegs, frames, spf)
             if prepared is not None:
@@ -377,6 +427,8 @@ class DeviceDecoder:
         # ~1.5 GB/s so the bigger upload is free -- but the host gather
         # sits on the prep critical path and measured no better.)
         blen = (base + self.wn + 1 + 65535) // 65536 * 65536
+        blen = max(blen, self.flat_blen)  # sticky: stable jit key
+        self.flat_blen = blen
         if blen > buf.size:
             buf = np.concatenate([buf, np.zeros(blen - buf.size, np.uint32)])
         return ("flat", buf[:blen], starts, lens * 8, self.qtables)
