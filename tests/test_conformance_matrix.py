@@ -18,9 +18,13 @@ from refbin import (
     ref_encode,
 )
 
-pytestmark = pytest.mark.skipif(
-    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,  # quick tier: -m 'not slow'
+    pytest.mark.skipif(
+        ensure_reference_binaries() is None,
+        reason="reference toolchain unavailable",
+    ),
+]
 
 SUBSAMPLING = [("gray", 1, 1), ("444", 1, 1), ("422", 2, 1), ("420", 2, 2)]
 PRECISION = [255, 4095]

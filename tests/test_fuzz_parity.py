@@ -23,9 +23,13 @@ from jpeg_tpu.errors import JpegError
 from jpeg_tpu.utils.metrics import default_metrics
 from refbin import ensure_reference_binaries, make_ppm
 
-pytestmark = pytest.mark.skipif(
-    ensure_reference_binaries() is None, reason="reference toolchain unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,  # quick tier: -m 'not slow'
+    pytest.mark.skipif(
+        ensure_reference_binaries() is None,
+        reason="reference toolchain unavailable",
+    ),
+]
 
 
 def _ref_decode_or_none(jpeg_bytes: bytes):

@@ -15,6 +15,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # quick tier: -m 'not slow'
+
 REPO = Path(__file__).resolve().parent.parent
 
 
