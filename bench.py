@@ -198,6 +198,30 @@ def stable_best(fn, mpix: float, label: str,
     return best
 
 
+def retry_transient(fn, label: str, attempts: int = 3):
+    """Run ``fn`` retrying TRANSIENT backend failures (the remote-TPU
+    compile/dispatch service drops connections under load: INTERNAL
+    'response body closed', UNAVAILABLE, DEADLINE_EXCEEDED).  Real
+    errors -- shape/type/compile-diagnostic failures -- re-raise
+    immediately; they would only recur."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(
+                s in msg
+                for s in ("INTERNAL", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                          "remote_compile", "body closed", "Connection",
+                          "Socket closed", "RESOURCE_EXHAUSTED")
+            )
+            if not transient or i == attempts - 1:
+                raise
+            log(f"  {label}: transient backend error (attempt {i + 1}/"
+                f"{attempts}), retrying: {msg[:160]}")
+            time.sleep(2.0 * (i + 1))
+
+
 N_RL = 8  # RST-less stream length (and unique contents)
 
 
@@ -376,9 +400,16 @@ def _run_sections() -> None:
         # the whole budget (BENCH_r05 run 1: full-stream warmup at a
         # 30 KB/s tunnel phase blew the 540 s budget).
         t0 = time.perf_counter()
-        dec.decode_batch(jpegs[:CHUNK], chunk=CHUNK).block_until_ready()
+        retry_transient(
+            lambda: dec.decode_batch(
+                jpegs[:CHUNK], chunk=CHUNK
+            ).block_until_ready(),
+            "warmup-chunk",
+        )
         t1 = time.perf_counter()
-        out = dec.decode_batch(jpegs, chunk=CHUNK)
+        out = retry_transient(
+            lambda: dec.decode_batch(jpegs, chunk=CHUNK), "warmup-stream"
+        )
         out.block_until_ready()
         log(f"warmup: chunk compile {t1-t0:.1f}s + full stream "
             f"{time.perf_counter()-t1:.1f}s; out {out.shape} {out.dtype}; "
@@ -456,7 +487,7 @@ def _run_sections() -> None:
             )
             dpix = jax.device_put(pix.astype(np.uint8))
             enc = jpeg_tpu.DeviceEncoder.for_config(HEIGHT, WIDTH, 3, params)
-            enc.encode_batch(dpix)  # warm/compile
+            retry_transient(lambda: enc.encode_batch(dpix), "encode-warm")
             be = stable_best(lambda: enc.encode_batch(dpix),
                              UNIQUE * WIDTH * HEIGHT / 1e6, "device encode",
                              min_reps=4, max_reps=12, budget_s=35)
@@ -486,7 +517,10 @@ def _run_sections() -> None:
         with section("encode-optimize", max(45.0, left() - 30)):
             # Two-pass optimized-table path (on-device histogram psum +
             # K.2 + second pass) -- the flagship optimize=True pipeline.
-            enc.encode_batch(dpix, optimize=True)  # warm/compile
+            retry_transient(
+                lambda: enc.encode_batch(dpix, optimize=True),
+                "encode-optimize-warm",
+            )
             bo = stable_best(
                 lambda: enc.encode_batch(dpix, optimize=True),
                 UNIQUE * WIDTH * HEIGHT / 1e6, "encode optimize=True",
@@ -509,8 +543,11 @@ def _run_sections() -> None:
                 rl_unique[s % len(rl_unique)] for s in range(n_rl)
             )
             t0 = time.perf_counter()
-            mjpeg.warm_stream_device(
-                rl_stream, budget_s=max(30.0, left() - 60)
+            retry_transient(
+                lambda: mjpeg.warm_stream_device(
+                    rl_stream, budget_s=max(30.0, left() - 60)
+                ),
+                "rstless-warm",
             )
             log(f"rstless warm (to learned fixed point): "
                 f"{time.perf_counter()-t0:.1f}s")
