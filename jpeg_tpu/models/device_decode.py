@@ -48,21 +48,23 @@ _UPLOAD_RATE = [None]  # measured host->device B/s, once per process
 
 
 def _measured_upload_rate() -> float:
-    """Host->device upload bandwidth, measured once per process.
+    """SUSTAINED host->device upload bandwidth, measured once per process.
 
     The rows-vs-flat prep trade hinges on it: padded rows upload ~2.5x
     the compressed bytes but skip the on-device lane-matrix rebuild
     gather (~6 ms per 8x1080p chunk); that is a win only when uploads
-    are effectively free (PCIe), a loss on a slow link (this dev box's
-    tunnel measured 29-67 MB/s, where flat more than doubled sustained
-    throughput).  8 MB probe, first transfer warms the connection.
+    are effectively free (PCIe), a loss on a slow link.  An 8 MB burst
+    probe measured >=400 MB/s on this box's tunnel while the sustained
+    64-frame stream achieved 62 MB/s (buffering soaks small transfers),
+    so the probe sends a second, LARGER buffer and times that: 32 MB is
+    past the burst window here and costs ~3 ms on real PCIe.
     """
     if _UPLOAD_RATE[0] is None:
         try:
-            buf = np.ones(2 << 20, np.uint32)  # 8 MB
-            jax.block_until_ready(jax.device_put(buf))
             import time
 
+            jax.block_until_ready(jax.device_put(np.ones(1 << 20, np.uint32)))
+            buf = np.ones(8 << 20, np.uint32)  # 32 MB
             t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(buf))
             _UPLOAD_RATE[0] = buf.nbytes / (time.perf_counter() - t0)
@@ -77,9 +79,12 @@ def _measured_upload_rate() -> float:
 
 
 # Above this measured upload rate, the bigger rows upload costs less
-# than the flat mode's on-device rebuild gather saves (break-even
-# ~1.5x-payload / 6 ms-per-chunk ~= 470 MB/s at the bench shape).
-_ROWS_MIN_UPLOAD_BPS = 400e6
+# than the flat mode's on-device rebuild gather saves.  Break-even is
+# ~1.5x-payload / 6 ms-per-chunk ~= 470 MB/s at the bench shape; the
+# margin is asymmetric (a wrong "rows" pick puts 2.5x the payload on a
+# slow wire; a wrong "flat" pick costs ~6 ms/chunk of device gather),
+# so the threshold sits well above break-even.
+_ROWS_MIN_UPLOAD_BPS = 800e6
 
 
 def _is_pallas_compile_error(e: Exception) -> bool:
