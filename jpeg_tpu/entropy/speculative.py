@@ -72,11 +72,16 @@ CHAIN_WN_MAX = 320  # select-chain refill viable up to this row width
 # Record capacities (scatter/gather cost in the match phase is ~7-10 ns
 # per attempted element x L lanes x cap, so keep these tight):
 # TCAP only needs the AUTHORITATIVE lane's sync-strip boundaries (true
-# content, ~30 bits/block over <=2048 strip bits); junk-track tails are
-# never consulted.  HCAP must cover a variant's junk prefix (~10
-# bits/block) through its convergence inside the strip.
-TCAP = 48  # tail-record capacity per lane (sync-strip boundaries)
-HCAP = 128  # head-record capacity per lane (first `ov` bytes)
+# content, ~30-44 bits/block over <=2048 strip bits -> <=68).  HCAP must
+# cover a variant's junk prefix through the whole strip: junk blocks are
+# SHORT (~10-20 bits), so a 2048-bit strip can need ~100-200 head
+# records -- a boundary past the cap is LOST from the membership map and
+# every tail state landing there becomes a link miss (measured 105
+# misses -> 4.7 cascading re-probe rounds per 8-frame 1080p batch at
+# HCAP=128; the resolve loop, not the scans, then dominates the batch).
+# Env knobs for hardware A/B; both feed jit static shapes.
+TCAP = int(os.environ.get("JPEG_TPU_SPEC_TCAP", "48"))
+HCAP = int(os.environ.get("JPEG_TPU_SPEC_HCAP", "128"))
 BIGKEY = 1 << 20
 
 # res[, :] columns returned by _probe_match
@@ -951,6 +956,162 @@ def _resolve_fast(res, ovr, bpm: int, R: int, is_first, is_last, real_row,
             g0.astype(i32), nblk.astype(i32), tot, rec, su_t.max())
 
 
+@partial(jax.jit, static_argnames=("plan", "bpm", "R", "steps", "chain",
+                                   "ov_bits", "cb_bits", "win_cap_bits",
+                                   "pad"))
+def _fused_recover(res, vm, words, succ_rows, winbits, is_first, is_last,
+                   real_row, frame_first, first_idx, last_idx,
+                   plan: ScanPlan, bpm: int, R: int, steps: int,
+                   chain: bool, ov_bits: int, cb_bits: int,
+                   win_cap_bits: int, pad: int = 256):
+    """The _fast_try recovery loop as ONE device program.
+
+    The host-orchestrated loop cost ~100 ms per round in tunnel round
+    trips alone (bulk rec/fs/fl download + probe_small sync + resolve
+    re-sync, measured round 5); a batch with 3 cascaded link-miss
+    rounds spent ~300 ms orchestrating ~30 ms of device work.  Here the
+    whole ladder -- resolve, top-k selection of missed rows, their
+    batched re-probe (write_vm off), override merge, re-resolve -- runs
+    under ONE lax.while_loop, so the host pays a single dispatch and a
+    single sync regardless of cascade depth.
+
+    Returns (status, f_start, f_slot, g0, nblk, tot, su_max, starved,
+    n_rec0, misses): status as _resolve_fast's, su_max the max observed
+    probe need, starved = any re-probe starved (host falls back to its
+    step ladder), n_rec0 = round-0 recovery count (the kb-growth
+    signal), misses = total recovery rows across rounds (metrics).
+    """
+    i32 = jnp.int32
+    iota_R = jnp.arange(R, dtype=i32)
+    ovr0 = jnp.zeros((R, 11), i32)
+
+    def resolve(ovr):
+        return _resolve_fast(
+            res, ovr, bpm, R, is_first, is_last, real_row, frame_first,
+            first_idx, last_idx, ov_bits, win_cap_bits,
+        )
+
+    st0 = resolve(ovr0)
+    n0 = (st0[0] & 0xFFFF).astype(i32)
+    state = (
+        i32(0), ovr0, st0, jnp.zeros((), jnp.bool_), n0,
+    )
+
+    def cond(state):
+        rnd, _, st, starved, _ = state
+        status = st[0]
+        return (
+            (rnd < 5) & (status >= 0) & ((status & 0xFFFF) > 0)
+            & ~starved
+        )
+
+    def body(state):
+        rnd, ovr, st, _, misses = state
+        _, fs, fl, _, _, _, rec, _ = st
+        flags = rec[:, 0] > 0
+        ordv = jnp.where(flags, iota_R, R)
+        rows = -jax.lax.top_k(-ordv, pad)[0]  # pad smallest = flagged
+        valid = rows < R
+        rc = jnp.clip(rows, 0, R - 1)
+        nb = jnp.where(valid, jnp.take(winbits, rc), 0).astype(i32)
+        sbit = jnp.where(valid, jnp.take(fs, rc), 0).astype(i32)
+        sslot = jnp.where(valid, jnp.take(fl, rc), 0).astype(i32)
+        succ2 = jnp.where(valid, jnp.take(succ_rows, rc), -1).astype(i32)
+        words2 = jnp.take(words, rc, axis=0)
+        res2, _ = _probe_match(
+            plan, words2, jnp.arange(pad, dtype=i32), succ2,
+            jnp.zeros(pad, i32), nb, sbit, sslot, vm, steps, chain, R,
+            ov_bits, cb_bits, reps=1, write_vm=False,
+        )
+        starved = (valid & (res2[:, R_ALIVE] != 0)).any()
+        newrow = jnp.concatenate(
+            [
+                jnp.ones((pad, 1), i32),
+                res2[:, :7],
+                sbit[:, None],
+                sslot[:, None],
+                (jnp.take(rec[:, 0], rc) == 1).astype(i32)[:, None],
+            ],
+            axis=1,
+        )
+        ovr = ovr.at[jnp.where(valid, rc, R)].set(
+            newrow.astype(jnp.int32), mode="drop"
+        )
+        st2 = resolve(ovr)
+        return (
+            rnd + 1, ovr, st2, starved,
+            misses + (st2[0] & 0xFFFF).astype(i32),
+        )
+
+    rnd, ovr, st, starved, misses = jax.lax.while_loop(cond, body, state)
+    status, f_start, f_slot, g0, nblk, tot, rec, su_max = st
+    # rounds exhausted with work left -> force the host-walk fallback
+    status = jnp.where(
+        (rnd >= 5) & ((status & 0xFFFF) > 0), i32(-2), status
+    )
+    return (status, f_start, f_slot, g0, nblk, tot, su_max, starved,
+            n0, misses, rnd)
+
+
+def _fast_try_fused(res_d, plan, bpm, R, j_isf, j_isl, j_real,
+                    j_frame_first, j_fidx, j_lidx, ov_bits, win_cap_bits,
+                    jwords, j_frb, j_winbits, fsteps0, fhard, nrows,
+                    chain, vm, steps, total_blocks, ent, lkey):
+    """_fast_try on the fused device recovery loop: probe -> recover
+    ladder -> optimistic final all queue async; the host pays ONE sync
+    for the whole resolve, then only the rare starvation ladder."""
+    from ..utils.metrics import default_metrics
+
+    iota_R = jnp.arange(R, dtype=jnp.int32)
+    succ_rows = jnp.where(j_isl | ~j_real, -1, iota_R + 1)
+    with default_metrics.stage("speculative.fast_resolve"):
+        (status_d, fs_d, fl_d, g0_d, nblk_d, tot_d, su_d, pstarved_d,
+         nrec0_d, miss_d, rnd_d) = _fused_recover(
+            res_d, vm, jwords, succ_rows, j_winbits, j_isf, j_isl,
+            j_real, j_frame_first, j_fidx, j_lidx, plan, bpm, R, steps,
+            chain, ov_bits, win_cap_bits - ov_bits, win_cap_bits,
+            pad=min(256, R),
+        )
+        fsteps = fsteps0
+        # Optimistic: the final queues behind the recovery loop; wasted
+        # device time only when the loop ends in a fallback (rare).
+        coeffs, fstarved_d, fsu_d = _final_decode(
+            plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d, nblk_d,
+            j_frame_first, fsteps, nrows, chain,
+        )
+        (status, su_obs, pstarved, nrec0, misses, rounds, fst, fsu,
+         tot) = jax.device_get(
+            (status_d, su_d, pstarved_d, nrec0_d, miss_d, rnd_d,
+             fstarved_d, fsu_d, tot_d)
+        )
+        status, fst = int(status), bool(fst)
+    if rounds:
+        default_metrics.count("speculative.reprobe_rounds", int(rounds))
+        default_metrics.count("speculative.link_misses", int(misses))
+    if int(nrec0) > max(16, R // 16):
+        _learned_kb[lkey] = min(bpm - 1, _learned_kb.get(lkey, 2) + 1)
+        default_metrics.count("speculative.kb_grows")
+    if bool(pstarved) or status < 0 or (status >> 16) or (status & 0xFFFF):
+        return None  # host walk owns the step-bound ladder / fatal cases
+    while fst and fsteps < fhard:
+        default_metrics.count("speculative.final_retries")
+        fsteps = min(
+            fhard, -(-(fsteps * 3 // 2) // STEP_BUCKET) * STEP_BUCKET
+        )
+        coeffs, fstarved_d, fsu_d = _final_decode(
+            plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d, nblk_d,
+            j_frame_first, fsteps, nrows, chain,
+        )
+        fst, fsu = jax.device_get((fstarved_d, fsu_d))
+        fst = bool(fst)
+    ent[0] = max(steps, ent[0])
+    ent[1] = max(fsteps, ent[1])
+    ent[2] = max(ent[2], int(su_obs))
+    ent[3] = max(ent[3], int(fsu))
+    n_use = [int(min(t, total_blocks)) for t in np.asarray(tot)]
+    return coeffs, n_use
+
+
 def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
               j_fidx, j_lidx, ov_bits, win_cap_bits, jwords, j_frb,
               j_winbits, fsteps0, fhard, nrows, chain, probe_small, vm,
@@ -966,6 +1127,18 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
     -- the host path owns the step-bound retry ladder)."""
     from ..utils.metrics import default_metrics
 
+    if os.environ.get("JPEG_TPU_SPEC_TIME"):
+        # Debug decomposition: isolate the probe's device wall from the
+        # resolve/final tail (costs one extra RTT; off in production).
+        with default_metrics.stage("speculative.fr_probe_wait"):
+            np.asarray(res_d[:2, :2])
+    if os.environ.get("JPEG_TPU_SPEC_FUSED", "1") != "0":
+        return _fast_try_fused(
+            res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
+            j_fidx, j_lidx, ov_bits, win_cap_bits, jwords, j_frb,
+            j_winbits, fsteps0, fhard, nrows, chain, vm, steps,
+            total_blocks, ent, lkey,
+        )
     ovr_np = np.zeros((R, 11), np.int32)
     fsteps = fsteps0
     coeffs = fst = None
@@ -984,12 +1157,16 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                     plan, jwords, j_frb, j_winbits, fs_d, fl_d, g0_d,
                     nblk_d, j_frame_first, fsteps, nrows, chain,
                 )
-                status, fst, su_obs, fsu = jax.device_get(
-                    (status_d, fstarved_d, su_d, fsu_d)
-                )
+                # This sync's wall = probe + resolve + final execution
+                # (everything queued so far) + one RTT.
+                with default_metrics.stage("speculative.fr_sync0"):
+                    status, fst, su_obs, fsu = jax.device_get(
+                        (status_d, fstarved_d, su_d, fsu_d)
+                    )
                 status, fst = int(status), bool(fst)
             else:
-                status, su_obs = jax.device_get((status_d, su_d))
+                with default_metrics.stage("speculative.fr_resync"):
+                    status, su_obs = jax.device_get((status_d, su_d))
                 status = int(status)
             if status < 0:
                 return None
@@ -1007,21 +1184,27 @@ def _fast_try(res_d, plan, bpm, R, j_isf, j_isl, j_real, j_frame_first,
                 break
             default_metrics.count("speculative.reprobe_rounds")
             default_metrics.count("speculative.link_misses", n_rec)
-            if rnd == 0 and n_rec > max(8, R // 64):
+            if rnd == 0 and n_rec > max(16, R // 16):
                 # the survivor roster dropped live trajectories
                 # wholesale: widen it for this stream's later batches
                 _learned_kb[lkey] = min(
                     bpm - 1, _learned_kb.get(lkey, 2) + 1
                 )
                 default_metrics.count("speculative.kb_grows")
-            rec = np.asarray(rec_d)
-            f_start_h = np.asarray(fs_d)
-            f_slot_h = np.asarray(fl_d)
-            rows_list = np.nonzero(rec[:, 0])[0]
-            sbit = f_start_h[rows_list].astype(np.int32)
-            sslot = f_slot_h[rows_list].astype(np.int32)
-            nb = win_bits[rows_list].astype(np.int32)
-            res2_h, vm = probe_small(rows_list, sbit, sslot, nb, vm, steps)
+            with default_metrics.stage("speculative.fr_recovery"):
+                # ONE bulk device_get: each separate np.asarray is a
+                # blocking tunnel round trip (~15-40 ms here); three of
+                # them made every recovery round ~123 ms.
+                rec, f_start_h, f_slot_h = jax.device_get(
+                    (rec_d, fs_d, fl_d)
+                )
+                rows_list = np.nonzero(rec[:, 0])[0]
+                sbit = f_start_h[rows_list].astype(np.int32)
+                sslot = f_slot_h[rows_list].astype(np.int32)
+                nb = win_bits[rows_list].astype(np.int32)
+                res2_h, vm = probe_small(
+                    rows_list, sbit, sslot, nb, vm, steps
+                )
             for i, row in enumerate(rows_list):
                 r2 = res2_h[i]
                 if r2[R_ALIVE]:
